@@ -1,0 +1,45 @@
+"""Inference engine (layer L5): the TPU-native replacement for rcgpar.
+
+The reference calls into the external rcgpar library
+(rcg_optl_omp / rcg_optl_torch / em_torch / mixture_components,
+src/mSWEEP.cpp:176-205,419-423).  Here the same three algorithm choices
+exist as jitted JAX programs:
+
+- ``rcg``  : Riemannian conjugate-gradient variational Bayes (msweep_tpu.inference.rcg)
+- ``em``   : plain EM with Dirichlet-MAP M-step (msweep_tpu.inference.em)
+
+Both run identically on TPU or CPU; the reference's rcgcpu/rcggpu split
+collapses to one XLA program (the CLI accepts all three names).
+"""
+
+from .pack import DeviceProblem, pack_problem
+from .mixture import bound_const, mixture_components
+from .rcg import fit_rcg
+from .em import fit_em
+from .rate import dirichlet_kld, rates_from_log_kld
+
+__all__ = [
+    "DeviceProblem",
+    "pack_problem",
+    "bound_const",
+    "mixture_components",
+    "fit_rcg",
+    "fit_em",
+    "dirichlet_kld",
+    "rates_from_log_kld",
+    "fit",
+]
+
+
+def fit(problem, algorithm="rcg", *, tol=1e-6, max_iters=5000, verbose=False):
+    """Dispatch like the reference's rcg_optl wrapper (src/mSWEEP.cpp:176-205).
+
+    Accepts reference algorithm names: rcgcpu/rcggpu -> rcg, emgpu -> em.
+    Returns (gamma, n_iters, final_objective).
+    """
+    name = {"rcgcpu": "rcg", "rcggpu": "rcg", "emgpu": "em"}.get(algorithm, algorithm)
+    if name == "rcg":
+        return fit_rcg(problem, tol=tol, max_iters=max_iters, verbose=verbose)
+    if name == "em":
+        return fit_em(problem, tol=tol, max_iters=max_iters, verbose=verbose)
+    raise ValueError(f"unknown algorithm {algorithm}")
