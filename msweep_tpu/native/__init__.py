@@ -1,0 +1,83 @@
+"""Native C++ fast paths, bound via ctypes.
+
+Builds lazily on first import (g++ -O3 -fopenmp); any failure falls back
+to the pure-numpy implementations (callers catch ImportError).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "_msweep_native.so")
+_SRC = os.path.join(_DIR, "parser.cpp")
+
+
+def _build() -> None:
+    import subprocess
+
+    cmd = [
+        "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+        "-std=c++17", _SRC, "-o", _SO + ".tmp",
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(_SO + ".tmp", _SO)
+
+
+def _load():
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        _build()
+    lib = ctypes.CDLL(_SO)
+    lib.msweep_count.restype = ctypes.c_int
+    lib.msweep_count.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.msweep_fill.restype = ctypes.c_int
+    lib.msweep_fill.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+    ]
+    return lib
+
+
+try:
+    _lib = _load()
+except Exception as _e:  # missing toolchain etc. -> numpy fallback
+    raise ImportError(f"native parser unavailable: {_e}") from _e
+
+
+def parse_plaintext(data: bytes):
+    """(read_ids, target_ids, n_reads) — see io.themisto.parse_plaintext_pairs."""
+    n = len(data)
+    if n == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.uint64), 0
+    n_chunks = min(32, max(1, os.cpu_count() or 1))
+    pair_counts = np.zeros(n_chunks, dtype=np.int64)
+    line_counts = np.zeros(n_chunks, dtype=np.int64)
+    buf = ctypes.c_char_p(data)
+    rc = _lib.msweep_count(
+        buf, n, n_chunks,
+        pair_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        line_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        raise ValueError("File format not supported (non-numeric token)")
+    total = int(pair_counts.sum())
+    offsets = np.zeros(n_chunks, dtype=np.int64)
+    np.cumsum(pair_counts[:-1], out=offsets[1:])
+    reads = np.empty(total, dtype=np.uint64)
+    tgts = np.empty(total, dtype=np.uint64)
+    rc = _lib.msweep_fill(
+        buf, n, n_chunks,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        reads.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        tgts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    if rc != 0:
+        raise ValueError("File format not supported (non-numeric token)")
+    return reads, tgts, int(line_counts.sum())
