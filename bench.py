@@ -35,7 +35,7 @@ def main():
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from msweep_tpu.inference.mixture import bound_const
-    from msweep_tpu.inference.rcg import _rcg_run
+    from msweep_tpu.inference.rcg import _fit_rcg_arrays
 
     print(f"bench: E={E} G={G} iters={iters} dtype={dtype.__name__} "
           f"backend={jax.default_backend()} devices={len(jax.devices())}",
@@ -52,11 +52,15 @@ def main():
     alpha = jnp.ones((G,), dtype)
     bc = bound_const(np.asarray(counts, np.float64), np.ones(G))
 
-    run = lambda n: _rcg_run(logL, counts, alpha, bc, max_iters=n, tol=0.0, verbose=False)
-
-    # Warmup/compile (tol=0 never converges -> exactly n iterations).
+    # tol=-1 is bench mode: never converge, run exactly n iterations
+    # (one scan chunk per call -> a single device dispatch).
+    run = lambda n: _fit_rcg_arrays(
+        logL, counts, alpha, bc, max_iters=n, tol=-1.0, verbose=False, chunk=n
+    )
+    # Warmup must use the same chunk length as the timed run — length is a
+    # static argument of the jitted scan, so a different n recompiles.
     t0 = time.time()
-    jax.block_until_ready(run(2))
+    jax.block_until_ready(run(iters))
     print(f"bench: compile+warmup {time.time()-t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()

@@ -9,11 +9,16 @@ source unavailable; this is the textbook algorithm its API implies]:
 
 Convergence when the MAP objective
   J = sum_e c_e logsumexp_g(L_eg + log theta_g) + sum_g (alpha_g-1) log theta_g
-improves by less than tol.  With the default alpha=1 this is plain
+changes by less than tol.  With the default alpha=1 this is plain
 maximum likelihood.  Like the reference's emgpu, the trajectory is
-precision-sensitive (docs/gpubenchmarks.md:20-25: float converges in 335
-iters where double hits the 5000 cap at tol 1e-6); dtype follows the
-packed matrix, scalars accumulate per pack.acc_dtype.
+precision-sensitive (docs/gpubenchmarks.md:20-25).
+
+TPU structure mirrors rcg.py: lax.scan chunks with host convergence
+checks between them (lax.while_loop costs a host sync per iteration on
+remote-dispatch backends), and the objective *change* is accumulated
+from per-row differences of logsumexp values — carrying the (E,) lse
+vector across iterations — so f32 runs converge at absolute tolerances
+far below f32 resolution of the O(1e7) total objective.
 """
 
 from __future__ import annotations
@@ -24,73 +29,140 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..utils import NEG
+from ..utils import NEG, PAD_THRESHOLD
 from .pack import DeviceProblem, acc_dtype
 
 
 class EMState(NamedTuple):
-    theta: jax.Array  # (G,)
-    objective: jax.Array  # scalar
+    theta: jax.Array  # (G,) acc dtype
+    lse: jax.Array  # (E,) per-row logsumexp at current theta
+    objective: jax.Array  # scalar (acc), running
+    delta: jax.Array  # scalar, last objective change
     it: jax.Array
     done: jax.Array
 
 
 def _safe_log(x, dtype):
-    return jnp.where(x > 0, jnp.log(jnp.maximum(x, 1e-300)), jnp.asarray(NEG, dtype))
+    return jnp.where(x > 0, jnp.log(jnp.maximum(x, jnp.finfo(dtype).tiny)), jnp.asarray(NEG, dtype))
 
 
-@partial(jax.jit, static_argnames=("max_iters", "tol", "verbose"))
-def _em_run(logL, counts, alpha, *, max_iters: int, tol: float, verbose: bool):
-    dtype = logL.dtype
-    acc = acc_dtype()
-    G_pad = logL.shape[1]
+def _acc_dot(a, b):
+    return jnp.sum((a * b).astype(acc_dtype()))
 
-    from ..utils import PAD_THRESHOLD
 
-    valid = logL[0, :] > jnp.asarray(PAD_THRESHOLD, dtype)  # padded-group
-    # mask; row 0 is a real EC row whose padded cols are NEG (E>=1 always).
-    n_valid = jnp.sum(valid)
-    theta0 = jnp.where(valid, 1.0 / n_valid, 0.0).astype(dtype)
+def _colsum_acc(x):
+    E, G = x.shape
+    B = 1024
+    while E % B != 0:
+        B //= 2
+    if B <= 1:
+        return jnp.sum(x.astype(acc_dtype()), axis=0)
+    part = jnp.sum(x.reshape(E // B, B, G), axis=1)
+    return jnp.sum(part.astype(acc_dtype()), axis=0)
 
-    am1 = (alpha - 1.0).astype(acc)
-    csum_prior = jnp.sum(am1) + jnp.sum(counts.astype(acc))
 
-    def estep(theta):
-        t = logL + _safe_log(theta, dtype)[None, :]
-        lse = jax.scipy.special.logsumexp(t, axis=1)
-        logp = t - lse[:, None]
-        obj = jnp.sum((counts * lse).astype(acc)) + jnp.sum(
-            jnp.where(valid, am1 * _safe_log(theta, dtype).astype(acc), 0.0)
-        )
-        return logp, obj
+def _estep(logL, theta, dtype):
+    t = logL + _safe_log(theta, acc_dtype()).astype(dtype)[None, :]
+    lse = jax.scipy.special.logsumexp(t, axis=1)
+    return t, lse
 
-    def body(st: EMState) -> EMState:
-        logp, obj = estep(st.theta)
-        w = counts[:, None] * jnp.exp(logp)
-        nw = jnp.sum(w.astype(acc), axis=0)
+
+def _make_step(tol: float, verbose: bool, valid):
+    def step(st: EMState, logL, counts, alpha):
+        acc = acc_dtype()
+        dtype = logL.dtype
+        am1 = (alpha - 1.0).astype(acc)
+
+        t, lse = _estep(logL, st.theta, dtype)
+        p = jnp.exp(t - lse[:, None])
+        nw = _colsum_acc(counts[:, None] * p)
         raw = jnp.maximum(am1 + nw, 0.0)
         raw = jnp.where(valid, raw, 0.0)
-        theta_new = (raw / jnp.sum(raw)).astype(dtype)
-        delta = obj - st.objective
-        done = jnp.abs(delta) < tol
-        if verbose:
-            jax.debug.print("  iter {i}  objective {o}", i=st.it + 1, o=obj)
-        return EMState(theta=theta_new, objective=obj, it=st.it + 1, done=st.done | done)
+        theta_new = raw / jnp.sum(raw)
 
-    st = EMState(
+        # Objective change from per-row lse differences (tiny numbers near
+        # convergence -> f32-safe) + the prior term change in f64.
+        _, lse_new = _estep(logL, theta_new, dtype)
+        data_delta = _acc_dot(counts, lse_new - st.lse)
+        logt_new = _safe_log(theta_new, acc)
+        logt_old = _safe_log(st.theta, acc)
+        prior_delta = jnp.sum(jnp.where(valid, am1 * (logt_new - logt_old), 0.0))
+        delta = data_delta + prior_delta
+        obj_new = st.objective + delta
+
+        done = jnp.abs(delta) < tol if tol >= 0 else jnp.zeros((), bool)
+        if verbose:
+            jax.debug.print("  iter {i}  objective {o}", i=st.it + 1, o=obj_new)
+        return EMState(
+            theta=theta_new,
+            lse=lse_new,
+            objective=obj_new,
+            delta=delta,
+            it=st.it + 1,
+            done=st.done | done,
+        )
+
+    return step
+
+
+def _valid_mask(logL):
+    return logL[0, :] > jnp.asarray(PAD_THRESHOLD, logL.dtype)
+
+
+@jax.jit
+def _em_init(logL, counts, alpha):
+    acc = acc_dtype()
+    dtype = logL.dtype
+    valid = _valid_mask(logL)
+    n_valid = jnp.sum(valid)
+    theta0 = jnp.where(valid, 1.0 / n_valid, 0.0).astype(acc)
+    _, lse0 = _estep(logL, theta0, dtype)
+    am1 = (alpha - 1.0).astype(acc)
+    obj0 = _acc_dot(counts, lse0) + jnp.sum(
+        jnp.where(valid, am1 * _safe_log(theta0, acc), 0.0)
+    )
+    return EMState(
         theta=theta0,
-        objective=jnp.asarray(-jnp.inf, acc),
+        lse=lse0,
+        objective=obj0,
+        delta=jnp.asarray(jnp.inf, acc),
         it=jnp.zeros((), jnp.int32),
         done=jnp.zeros((), bool),
     )
-    st = jax.lax.while_loop(
-        lambda s: (s.it < max_iters) & ~s.done, body, st
-    )
 
-    # Final responsibilities at the converged theta (the returned log
-    # probs matrix, same downstream handling as rcg: src/mSWEEP.cpp:419-423).
-    logp, obj = estep(st.theta)
-    return logp, st.it, obj
+
+@partial(jax.jit, static_argnames=("length", "tol", "verbose"))
+def _em_chunk(state, logL, counts, alpha, *, length: int, tol: float, verbose: bool):
+    valid = _valid_mask(logL)
+    step = _make_step(tol, verbose, valid)
+
+    def body(st, _):
+        new = jax.lax.cond(st.done, lambda s: s, lambda s: step(s, logL, counts, alpha), st)
+        return new, None
+
+    state, _ = jax.lax.scan(body, state, None, length=length)
+    return state
+
+
+@jax.jit
+def _em_final(logL, state):
+    """Final responsibilities at the converged theta (the returned log
+    probs matrix, same downstream handling as rcg: src/mSWEEP.cpp:419-423)."""
+    t, lse = _estep(logL, state.theta, logL.dtype)
+    return t - lse[:, None]
+
+
+def _fit_em_arrays(logL, counts, alpha, *, tol, max_iters, verbose, chunk=16):
+    state = _em_init(logL, counts, alpha)
+    it = 0
+    while it < max_iters:
+        n = min(chunk, max_iters - it)
+        state = _em_chunk(state, logL, counts, alpha, length=n, tol=float(tol), verbose=verbose)
+        it += n
+        if bool(state.done):
+            break
+    logp = _em_final(logL, state)
+    return logp, state.it, state.objective
 
 
 def fit_em(
@@ -100,18 +172,33 @@ def fit_em(
     max_iters: int = 5000,
     verbose: bool = False,
     counts=None,
+    chunk: int = 16,
 ):
     c = problem.counts if counts is None else counts
-    return _em_run(
+    return _fit_em_arrays(
         problem.logL,
         c,
         problem.alpha,
-        max_iters=int(max_iters),
         tol=float(tol),
+        max_iters=int(max_iters),
         verbose=bool(verbose),
+        chunk=chunk,
     )
 
 
-def fit_em_batch(problem: DeviceProblem, counts_batch, *, tol=1e-6, max_iters=5000):
-    run = partial(_em_run, max_iters=int(max_iters), tol=float(tol), verbose=False)
-    return jax.vmap(lambda c: run(problem.logL, c, problem.alpha))(counts_batch)
+def fit_em_batch(problem: DeviceProblem, counts_batch, *, tol=1e-6, max_iters=5000, chunk=16):
+    init = jax.vmap(lambda c: _em_init(problem.logL, c, problem.alpha))
+    state = init(counts_batch)
+    it = 0
+    while it < max_iters:
+        n = min(chunk, max_iters - it)
+        state = jax.vmap(
+            lambda st, c: _em_chunk(
+                st, problem.logL, c, problem.alpha, length=n, tol=float(tol), verbose=False
+            )
+        )(state, counts_batch)
+        it += n
+        if bool(jnp.all(state.done)):
+            break
+    logp = jax.vmap(lambda st: _em_final(problem.logL, st))(state)
+    return logp, state.it, state.objective
