@@ -18,7 +18,10 @@ checks between them (lax.while_loop costs a host sync per iteration on
 remote-dispatch backends), and the objective *change* is accumulated
 from per-row differences of logsumexp values — carrying the (E,) lse
 vector across iterations — so f32 runs converge at absolute tolerances
-far below f32 resolution of the O(1e7) total objective.
+far below f32 resolution of the O(1e7) total objective.  Each iteration
+makes ONE pass over logL (see _make_step: the deferred-delta scheme);
+on TPU the pass is a fused Pallas kernel (ops/em_pallas.py) that reads
+the matrix exactly once per iteration.
 """
 
 from __future__ import annotations
@@ -35,7 +38,8 @@ from .pack import DeviceProblem, acc_dtype
 
 class EMState(NamedTuple):
     theta: jax.Array  # (G,) acc dtype
-    lse: jax.Array  # (E,) per-row logsumexp at current theta
+    lse: jax.Array  # (E,) per-row logsumexp at the PREVIOUS theta
+    prior: jax.Array  # scalar (acc): sum (alpha-1) log theta at prev theta
     objective: jax.Array  # scalar (acc), running
     delta: jax.Array  # scalar, last objective change
     it: jax.Array
@@ -67,35 +71,63 @@ def _estep(logL, theta, dtype):
     return t, lse
 
 
-def _make_step(tol: float, verbose: bool, valid):
+def _make_step(tol: float, verbose: bool, valid, impl: str = "xla"):
+    """One EM iteration with ONE pass over logL (deferred-delta scheme).
+
+    The convergence delta J(theta_k) - J(theta_{k-1}) is evaluated from
+    this step's lse(theta_k) against the carried lse(theta_{k-1}) — the
+    second E-step a naive implementation would spend purely on the
+    convergence check is reused as the next iteration's E-step.  The
+    check therefore fires one iteration after the naive formulation,
+    with an identical delta sequence.
+    """
+
     def step(st: EMState, logL, counts, alpha):
         acc = acc_dtype()
         dtype = logL.dtype
         am1 = (alpha - 1.0).astype(acc)
 
-        t, lse = _estep(logL, st.theta, dtype)
-        p = jnp.exp(t - lse[:, None])
-        nw = _colsum_acc(counts[:, None] * p)
+        if impl == "xla":
+            t, lse = _estep(logL, st.theta, dtype)
+            p = jnp.exp(t - lse[:, None])
+            nw = _colsum_acc(counts[:, None] * p)
+            data_delta = _acc_dot(counts, lse - st.lse)
+        else:  # pallas / pallas_interpret: fused single-read kernel
+            from ..ops import em_pallas
+
+            logtheta = _safe_log(st.theta, acc).astype(dtype)[None, :]
+            lse2d, colsum, ddot = em_pallas.em_step(
+                logL,
+                counts[:, None],
+                st.lse[:, None].astype(dtype),
+                logtheta,
+                interpret=(impl == "pallas_interpret"),
+            )
+            lse = lse2d[:, 0]
+            nw = colsum.astype(acc)
+            data_delta = ddot.astype(acc)
+
+        prior_now = jnp.sum(jnp.where(valid, am1 * _safe_log(st.theta, acc), 0.0))
+        delta = data_delta + (prior_now - st.prior)
+        first = st.it == 0
+        # First step has no previous objective to compare against.
+        delta = jnp.where(first, jnp.asarray(jnp.inf, acc), delta)
+        obj_new = jnp.where(first, st.objective, st.objective + delta)
+
         raw = jnp.maximum(am1 + nw, 0.0)
         raw = jnp.where(valid, raw, 0.0)
         theta_new = raw / jnp.sum(raw)
 
-        # Objective change from per-row lse differences (tiny numbers near
-        # convergence -> f32-safe) + the prior term change in f64.
-        _, lse_new = _estep(logL, theta_new, dtype)
-        data_delta = _acc_dot(counts, lse_new - st.lse)
-        logt_new = _safe_log(theta_new, acc)
-        logt_old = _safe_log(st.theta, acc)
-        prior_delta = jnp.sum(jnp.where(valid, am1 * (logt_new - logt_old), 0.0))
-        delta = data_delta + prior_delta
-        obj_new = st.objective + delta
-
-        done = jnp.abs(delta) < tol if tol >= 0 else jnp.zeros((), bool)
+        if tol < 0:
+            done = jnp.zeros((), bool)
+        else:
+            done = ~first & (jnp.abs(delta) < tol)
         if verbose:
             jax.debug.print("  iter {i}  objective {o}", i=st.it + 1, o=obj_new)
         return EMState(
             theta=theta_new,
-            lse=lse_new,
+            lse=lse,
+            prior=prior_now,
             objective=obj_new,
             delta=delta,
             it=st.it + 1,
@@ -124,6 +156,7 @@ def _em_init(logL, counts, alpha):
     return EMState(
         theta=theta0,
         lse=lse0,
+        prior=jnp.zeros((), acc),  # unused: step 1 recomputes it
         objective=obj0,
         delta=jnp.asarray(jnp.inf, acc),
         it=jnp.zeros((), jnp.int32),
@@ -131,10 +164,12 @@ def _em_init(logL, counts, alpha):
     )
 
 
-@partial(jax.jit, static_argnames=("length", "tol", "verbose"))
-def _em_chunk(state, logL, counts, alpha, *, length: int, tol: float, verbose: bool):
+@partial(jax.jit, static_argnames=("length", "tol", "verbose", "impl"))
+def _em_chunk(
+    state, logL, counts, alpha, *, length: int, tol: float, verbose: bool, impl: str = "xla"
+):
     valid = _valid_mask(logL)
-    step = _make_step(tol, verbose, valid)
+    step = _make_step(tol, verbose, valid, impl)
 
     def body(st, _):
         new = jax.lax.cond(st.done, lambda s: s, lambda s: step(s, logL, counts, alpha), st)
@@ -152,12 +187,18 @@ def _em_final(logL, state):
     return t - lse[:, None]
 
 
-def _fit_em_arrays(logL, counts, alpha, *, tol, max_iters, verbose, chunk=16):
+def _fit_em_arrays(logL, counts, alpha, *, tol, max_iters, verbose, chunk=16, impl=None):
+    if impl is None:
+        from .rcg import _pick_impl
+
+        impl = _pick_impl(logL)
     state = _em_init(logL, counts, alpha)
     it = 0
     while it < max_iters:
         n = min(chunk, max_iters - it)
-        state = _em_chunk(state, logL, counts, alpha, length=n, tol=float(tol), verbose=verbose)
+        state = _em_chunk(
+            state, logL, counts, alpha, length=n, tol=float(tol), verbose=verbose, impl=impl
+        )
         it += n
         if bool(state.done):
             break
@@ -173,8 +214,13 @@ def fit_em(
     verbose: bool = False,
     counts=None,
     chunk: int = 16,
+    impl: str | None = None,
 ):
     c = problem.counts if counts is None else counts
+    if impl is None:
+        from .rcg import _pick_impl
+
+        impl = _pick_impl(problem.logL, problem.mesh)
     return _fit_em_arrays(
         problem.logL,
         c,
@@ -183,6 +229,7 @@ def fit_em(
         max_iters=int(max_iters),
         verbose=bool(verbose),
         chunk=chunk,
+        impl=impl,
     )
 
 

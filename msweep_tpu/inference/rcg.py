@@ -150,41 +150,103 @@ def _make_step(tol: float, verbose: bool):
         delta = elbo_delta + dirichlet_delta
         bound_new = st.bound + delta
 
-        decreased = delta < 0
+        return _step_epilogue(
+            st, tol, verbose, gamma_new, d_new, n_new, newnorm, delta, bound_new
+        )
 
-        # Converged: accepted step with 0 <= improvement < tol, or a pure
-        # VB step that still "decreased" (numerical floor).  tol < 0 is
-        # bench mode: never converge.
-        if tol < 0:
-            newly_done = jnp.zeros((), bool)
-        else:
-            newly_done = (~decreased & (delta < tol)) | (decreased & st.just_reset)
+    return step
 
-        gamma_out = jnp.where(decreased, st.gamma, gamma_new)
-        d_out = jnp.where(decreased, jnp.zeros_like(d_new), d_new)
-        n_out = jnp.where(decreased, st.n_counts, n_new)
-        bound_out = jnp.where(decreased, st.bound, bound_new)
-        norm_out = jnp.where(decreased, jnp.ones((), acc), newnorm)
-        delta_out = jnp.where(decreased, st.delta, delta)
 
-        if verbose:
-            jax.debug.print(
-                "  iter {i}  bound {b}  (reset={r})",
-                i=st.it + 1,
-                b=bound_new,
-                r=decreased,
-            )
+def _step_epilogue(st, tol, verbose, gamma_new, d_new, n_new, newnorm, delta, bound_new):
+    """Accept/revert + convergence bookkeeping shared by both step impls.
 
-        return RCGState(
-            gamma=gamma_out,
-            d=d_out,
-            n_counts=n_out,
-            oldnorm=norm_out,
-            bound=bound_out,
-            delta=delta_out,
-            it=st.it + 1,
-            done=st.done | newly_done,
-            just_reset=decreased,
+    The revert (bound decreased -> undo step, reset momentum) is a rare
+    numerical-floor event, so it is a lax.cond: the accepted path passes
+    buffers through instead of paying full-matrix selects every
+    iteration (under vmap this degrades to the equivalent select).
+    """
+    acc = acc_dtype()
+    decreased = delta < 0
+
+    # Converged: accepted step with 0 <= improvement < tol, or a pure
+    # VB step that still "decreased" (numerical floor).  tol < 0 is
+    # bench mode: never converge.
+    if tol < 0:
+        newly_done = jnp.zeros((), bool)
+    else:
+        newly_done = (~decreased & (delta < tol)) | (decreased & st.just_reset)
+
+    gamma_out, d_out, n_out, norm_out, bound_out, delta_out = jax.lax.cond(
+        decreased,
+        lambda: (
+            st.gamma,
+            jnp.zeros_like(d_new),
+            st.n_counts,
+            jnp.ones((), acc),
+            st.bound,
+            st.delta,
+        ),
+        lambda: (gamma_new, d_new, n_new, newnorm, bound_new, delta),
+    )
+
+    if verbose:
+        jax.debug.print(
+            "  iter {i}  bound {b}  (reset={r})",
+            i=st.it + 1,
+            b=bound_new,
+            r=decreased,
+        )
+
+    return RCGState(
+        gamma=gamma_out,
+        d=d_out,
+        n_counts=n_out,
+        oldnorm=norm_out,
+        bound=bound_out,
+        delta=delta_out,
+        it=st.it + 1,
+        done=st.done | newly_done,
+        just_reset=decreased,
+    )
+
+
+def _make_step_pallas(tol: float, verbose: bool, interpret: bool):
+    """Step built on the fused Pallas kernels (ops/rcg_pallas.py).
+
+    Identical math to _make_step: two fused passes over the (E, G)
+    matrices (norm, then update) with per-block f32 partials summed in
+    f64 here, exactly mirroring _rowsum_acc/_colsum_acc two-stage
+    accumulation.
+    """
+    from ..ops import rcg_pallas
+
+    def step(st: RCGState, logL, counts, alpha):
+        acc = acc_dtype()
+        dtype = logL.dtype
+
+        counts2d = counts[:, None]
+        psi = digamma(st.n_counts).astype(dtype)[None, :]
+
+        newnorm = rcg_pallas.rcg_norm(
+            logL, st.gamma, counts2d, psi, interpret=interpret
+        ).astype(acc)
+        beta_fr = jnp.where(
+            st.just_reset | (st.it == 0) | (st.oldnorm <= 0),
+            jnp.zeros((), acc),
+            newnorm / st.oldnorm,
+        ).astype(dtype)
+
+        gamma_new, d_new, colsum, elbo_f32 = rcg_pallas.rcg_update(
+            logL, st.gamma, st.d, counts2d, psi, beta_fr, interpret=interpret
+        )
+        n_new = alpha.astype(acc) + colsum.astype(acc)
+        elbo_delta = elbo_f32.astype(acc)
+        dirichlet_delta = jnp.sum(gammaln(n_new) - gammaln(st.n_counts))
+        delta = elbo_delta + dirichlet_delta
+        bound_new = st.bound + delta
+
+        return _step_epilogue(
+            st, tol, verbose, gamma_new, d_new, n_new, newnorm, delta, bound_new
         )
 
     return step
@@ -220,9 +282,30 @@ def _rcg_init(logL, counts, alpha, bc):
     )
 
 
-@partial(jax.jit, static_argnames=("length", "tol", "verbose"))
-def _rcg_chunk(state, logL, counts, alpha, *, length: int, tol: float, verbose: bool):
-    step = _make_step(tol, verbose)
+def _pick_impl(logL, mesh=None) -> str:
+    """Fused Pallas step on a single TPU chip with f32 matrices;
+    plain XLA otherwise (CPU, f64 validation runs, sharded meshes)."""
+    from ..ops import rcg_pallas
+
+    if (
+        jax.default_backend() == "tpu"
+        and mesh is None
+        and rcg_pallas.supports(logL)
+    ):
+        return "pallas"
+    return "xla"
+
+
+@partial(jax.jit, static_argnames=("length", "tol", "verbose", "impl"))
+def _rcg_chunk(
+    state, logL, counts, alpha, *, length: int, tol: float, verbose: bool, impl: str = "xla"
+):
+    if impl == "pallas":
+        step = _make_step_pallas(tol, verbose, interpret=False)
+    elif impl == "pallas_interpret":  # CPU correctness testing of the kernels
+        step = _make_step_pallas(tol, verbose, interpret=True)
+    else:
+        step = _make_step(tol, verbose)
 
     def body(st, _):
         new = jax.lax.cond(
@@ -244,13 +327,16 @@ def _fit_rcg_arrays(
     max_iters: int,
     verbose: bool,
     chunk: int = 16,
+    impl: str | None = None,
 ):
+    if impl is None:
+        impl = _pick_impl(logL)
     state = _rcg_init(logL, counts, alpha, bc)
     it = 0
     while it < max_iters:
         n = min(chunk, max_iters - it)
         state = _rcg_chunk(
-            state, logL, counts, alpha, length=n, tol=float(tol), verbose=verbose
+            state, logL, counts, alpha, length=n, tol=float(tol), verbose=verbose, impl=impl
         )
         it += n
         if bool(state.done):
@@ -266,14 +352,19 @@ def fit_rcg(
     verbose: bool = False,
     counts=None,
     chunk: int = 16,
+    impl: str | None = None,
 ):
     """Run rcg on a packed problem. Returns (gamma, n_iters, bound).
 
     `gamma` keeps the padded (E_pad, G_pad) shape (slice with
     problem.n_ecs/n_groups when materializing outputs); `counts`
     optionally overrides problem.counts (bootstrap replicates).
+    `impl` None = auto: fused Pallas kernels on a single TPU chip,
+    XLA elsewhere.
     """
     c = problem.counts if counts is None else counts
+    if impl is None:
+        impl = _pick_impl(problem.logL, problem.mesh)
     return _fit_rcg_arrays(
         problem.logL,
         c,
@@ -283,6 +374,7 @@ def fit_rcg(
         max_iters=int(max_iters),
         verbose=bool(verbose),
         chunk=chunk,
+        impl=impl,
     )
 
 

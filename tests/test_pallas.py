@@ -1,0 +1,130 @@
+"""Fused Pallas rcg kernels vs the XLA step (interpret mode on CPU).
+
+The Pallas path (ops/rcg_pallas.py) must produce the same trajectory as
+the reference XLA implementation — same gamma, bound, iteration count —
+because the CLI picks it automatically on TPU hardware.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from msweep_tpu.inference.mixture import bound_const
+from msweep_tpu.inference.rcg import _fit_rcg_arrays, _rcg_chunk, _rcg_init
+from msweep_tpu.ops import rcg_pallas
+
+
+def _problem(E=64, G=384, seed=0):
+    rng = np.random.default_rng(seed)
+    logL = np.log(rng.dirichlet(np.ones(G) * 0.3, size=E) + 1e-12)
+    counts = rng.integers(1, 40, size=E).astype(np.float64)
+    alpha = np.ones(G)
+    bc = bound_const(counts, alpha)
+    return (
+        jnp.asarray(logL, jnp.float32),
+        jnp.asarray(counts, jnp.float32),
+        jnp.asarray(alpha, jnp.float32),
+        bc,
+    )
+
+
+def test_supports_gate():
+    logL, *_ = _problem(E=64, G=384)
+    assert rcg_pallas.supports(logL)
+    assert not rcg_pallas.supports(logL.astype(jnp.float64))
+    assert not rcg_pallas.supports(jnp.zeros((7, 384), jnp.float32))  # E not 8-aligned
+    assert not rcg_pallas.supports(jnp.zeros((64, 8192), jnp.float32))  # G too wide
+
+
+def test_pallas_step_matches_xla_step():
+    logL, counts, alpha, bc = _problem()
+    st0 = _rcg_init(logL, counts, alpha, bc)
+    kw = dict(length=5, tol=1e-6, verbose=False)
+    st_x = _rcg_chunk(st0, logL, counts, alpha, impl="xla", **kw)
+    st_p = _rcg_chunk(st0, logL, counts, alpha, impl="pallas_interpret", **kw)
+    np.testing.assert_allclose(np.asarray(st_p.gamma), np.asarray(st_x.gamma), rtol=0, atol=2e-5)
+    # f32 partials are grouped differently (row sums vs block sums), so
+    # the f64 totals agree only to f32 round-off of the partials.
+    np.testing.assert_allclose(float(st_p.bound), float(st_x.bound), rtol=1e-6)
+    np.testing.assert_allclose(float(st_p.oldnorm), float(st_x.oldnorm), rtol=1e-4)
+    assert int(st_p.it) == int(st_x.it)
+    assert bool(st_p.done) == bool(st_x.done)
+
+
+def test_pallas_full_fit_matches_xla():
+    logL, counts, alpha, bc = _problem(E=128, G=256, seed=3)
+    kw = dict(tol=1e-6, max_iters=200, verbose=False)
+    g_x, it_x, b_x = _fit_rcg_arrays(logL, counts, alpha, bc, impl="xla", **kw)
+    g_p, it_p, b_p = _fit_rcg_arrays(logL, counts, alpha, bc, impl="pallas_interpret", **kw)
+    # Trajectories agree to f32 round-off: same iteration count and
+    # matching posteriors.
+    assert abs(int(it_p) - int(it_x)) <= 1
+    np.testing.assert_allclose(float(b_p), float(b_x), rtol=1e-8)
+    # f32 round-off compounds over ~hundreds of CG iterations, so the two
+    # trajectories agree to optimizer tolerance, not machine eps: compare
+    # the normalized abundances.
+    theta_x = np.asarray(jnp.sum(counts[:, None] * jnp.exp(g_x), axis=0))
+    theta_p = np.asarray(jnp.sum(counts[:, None] * jnp.exp(g_p), axis=0))
+    theta_x = theta_x / theta_x.sum()
+    theta_p = theta_p / theta_p.sum()
+    np.testing.assert_allclose(theta_p, theta_x, rtol=5e-3, atol=1e-6)
+
+
+def test_pallas_padding_inert():
+    # Padded rows (counts 0, logL NEG) and padded group columns must not
+    # change results vs an unpadded problem run through the same kernels.
+    # Padding changes how f32 block partials are grouped, so agreement is
+    # to f32 round-off over a fixed iteration budget (tol<0 = no early
+    # stop), not bit-exact.
+    from msweep_tpu.utils import NEG
+
+    logL, counts, alpha, bc = _problem(E=56, G=256, seed=11)
+    E, G = logL.shape
+    Lp = jnp.full((E + 8, G + 128), NEG, jnp.float32).at[:E, :G].set(logL)
+    cp = jnp.zeros((E + 8,), jnp.float32).at[:E].set(counts)
+    ap = jnp.ones((G + 128,), jnp.float32).at[:G].set(alpha)
+    kw = dict(tol=-1.0, max_iters=8, verbose=False)
+    g0, it0, b0 = _fit_rcg_arrays(logL, counts, alpha, bc, impl="pallas_interpret", **kw)
+    g1, it1, b1 = _fit_rcg_arrays(Lp, cp, ap, bc, impl="pallas_interpret", **kw)
+    assert int(it0) == int(it1) == 8
+    np.testing.assert_allclose(float(b0), float(b1), rtol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(g1[:E, :G]), np.asarray(g0), rtol=0, atol=1e-4
+    )
+
+
+def test_em_pallas_matches_xla():
+    from msweep_tpu.inference.em import _fit_em_arrays
+
+    logL, counts, alpha, _ = _problem(E=128, G=256, seed=5)
+    kw = dict(tol=1e-8, max_iters=500, verbose=False)
+    g_x, it_x, o_x = _fit_em_arrays(logL, counts, alpha, impl="xla", **kw)
+    g_p, it_p, o_p = _fit_em_arrays(logL, counts, alpha, impl="pallas_interpret", **kw)
+    assert abs(int(it_p) - int(it_x)) <= 1
+    np.testing.assert_allclose(float(o_p), float(o_x), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=0, atol=5e-4)
+
+
+def test_em_deferred_delta_converges():
+    # The deferred-delta single-pass EM must still converge to the planted
+    # mixture and report a finite objective.
+    from msweep_tpu.inference.em import _fit_em_arrays
+    from msweep_tpu.inference.mixture import mixture_components
+
+    rng = np.random.default_rng(9)
+    G, E = 3, 120
+    theta_true = np.array([0.6, 0.3, 0.1])
+    comp = rng.choice(G, size=E, p=theta_true)
+    logL = np.full((E, 128), -80.0, np.float32)
+    for e in range(E):
+        logL[e, comp[e]] = 0.0
+        logL[e, (comp[e] + 1) % G] = -3.0
+    counts = np.repeat(25.0, E).astype(np.float32)
+    g, it, obj = _fit_em_arrays(
+        jnp.asarray(logL), jnp.asarray(counts),
+        jnp.ones(128, jnp.float32), tol=1e-7, max_iters=2000,
+        verbose=False, impl="pallas_interpret",
+    )
+    assert np.isfinite(float(obj))
+    theta = np.asarray(mixture_components(g, jnp.asarray(counts), 3))
+    np.testing.assert_allclose(theta, theta_true, atol=0.12)
