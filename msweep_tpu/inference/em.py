@@ -179,6 +179,17 @@ def _em_chunk(
     return state
 
 
+@partial(jax.jit, static_argnames=("tol", "verbose"), donate_argnums=(0,))
+def _em_step_pallas_jit(state, logL, counts, alpha, *, tol: float, verbose: bool):
+    """One fused-kernel EM iteration, host-dispatched (no scan — see
+    rcg._rcg_step_pallas_jit for why scan-of-pallas is avoided)."""
+    valid = _valid_mask(logL)
+    step = _make_step(tol, verbose, valid, "pallas")
+    return jax.lax.cond(
+        state.done, lambda s: s, lambda s: step(s, logL, counts, alpha), state
+    )
+
+
 @jax.jit
 def _em_final(logL, state):
     """Final responsibilities at the converged theta (the returned log
@@ -196,9 +207,15 @@ def _fit_em_arrays(logL, counts, alpha, *, tol, max_iters, verbose, chunk=16, im
     it = 0
     while it < max_iters:
         n = min(chunk, max_iters - it)
-        state = _em_chunk(
-            state, logL, counts, alpha, length=n, tol=float(tol), verbose=verbose, impl=impl
-        )
+        if impl == "pallas":
+            for _ in range(n):  # async dispatches; sync only at chunk end
+                state = _em_step_pallas_jit(
+                    state, logL, counts, alpha, tol=float(tol), verbose=verbose
+                )
+        else:
+            state = _em_chunk(
+                state, logL, counts, alpha, length=n, tol=float(tol), verbose=verbose, impl=impl
+            )
         it += n
         if bool(state.done):
             break

@@ -296,25 +296,43 @@ def _pick_impl(logL, mesh=None) -> str:
     return "xla"
 
 
+def _guarded_step(step, st, logL, counts, alpha):
+    """Freeze converged states: cond pass-through, not a full select."""
+    return jax.lax.cond(
+        st.done, lambda s: s, lambda s: step(s, logL, counts, alpha), st
+    )
+
+
 @partial(jax.jit, static_argnames=("length", "tol", "verbose", "impl"))
 def _rcg_chunk(
     state, logL, counts, alpha, *, length: int, tol: float, verbose: bool, impl: str = "xla"
 ):
-    if impl == "pallas":
-        step = _make_step_pallas(tol, verbose, interpret=False)
-    elif impl == "pallas_interpret":  # CPU correctness testing of the kernels
+    """length iterations as one on-device lax.scan (XLA step impl)."""
+    if impl == "pallas_interpret":  # CPU correctness testing of the kernels
         step = _make_step_pallas(tol, verbose, interpret=True)
     else:
         step = _make_step(tol, verbose)
 
     def body(st, _):
-        new = jax.lax.cond(
-            st.done, lambda s: s, lambda s: step(s, logL, counts, alpha), st
-        )
-        return new, None
+        return _guarded_step(step, st, logL, counts, alpha), None
 
     state, _ = jax.lax.scan(body, state, None, length=length)
     return state
+
+
+@partial(jax.jit, static_argnames=("tol", "verbose"), donate_argnums=(0,))
+def _rcg_step_pallas_jit(state, logL, counts, alpha, *, tol: float, verbose: bool):
+    """One fused-kernel iteration, dispatched from the host.
+
+    The Pallas path deliberately does NOT wrap its step in lax.scan:
+    XLA's compile time for scan-of-pallas_call grows pathologically with
+    the array size (hours at E=2^19 where the standalone kernel compiles
+    in <1s).  Host dispatch is asynchronous, so issuing `chunk` of these
+    back-to-back pipelines on device exactly like a scan; the state is
+    donated so gamma/d update in place.
+    """
+    step = _make_step_pallas(tol, verbose, interpret=False)
+    return _guarded_step(step, state, logL, counts, alpha)
 
 
 def _fit_rcg_arrays(
@@ -335,9 +353,15 @@ def _fit_rcg_arrays(
     it = 0
     while it < max_iters:
         n = min(chunk, max_iters - it)
-        state = _rcg_chunk(
-            state, logL, counts, alpha, length=n, tol=float(tol), verbose=verbose, impl=impl
-        )
+        if impl == "pallas":
+            for _ in range(n):  # async dispatches; sync only at chunk end
+                state = _rcg_step_pallas_jit(
+                    state, logL, counts, alpha, tol=float(tol), verbose=verbose
+                )
+        else:
+            state = _rcg_chunk(
+                state, logL, counts, alpha, length=n, tol=float(tol), verbose=verbose, impl=impl
+            )
         it += n
         if bool(state.done):
             break
