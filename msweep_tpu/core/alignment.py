@@ -77,9 +77,19 @@ def hash_reads(
     read ids (ascending), the CSR offsets of their pair runs, pair counts,
     and the 64-bit mixer hash of each read's ascending target sequence.
     """
-    aligned_reads, start, counts = np.unique(
-        read_of_pair, return_index=True, return_counts=True
-    )
+    # read_of_pair comes from sorted keys, so it is non-decreasing:
+    # run-length detection replaces np.unique's redundant sort.
+    if len(read_of_pair):
+        boundary = np.empty(len(read_of_pair), dtype=bool)
+        boundary[0] = True
+        np.not_equal(read_of_pair[1:], read_of_pair[:-1], out=boundary[1:])
+        start = np.flatnonzero(boundary)
+        aligned_reads = read_of_pair[start]
+        counts = np.diff(np.append(start, len(read_of_pair)))
+    else:
+        aligned_reads = read_of_pair[:0]
+        start = np.empty(0, dtype=np.int64)
+        counts = np.empty(0, dtype=np.int64)
     h = np.zeros(len(aligned_reads), dtype=np.uint64)
     if len(counts):
         maxlen = int(counts.max())
@@ -104,7 +114,12 @@ def collapse(
     read_of_pair = keys // np.uint64(n_targets)
     target_of_pair = keys % np.uint64(n_targets)
 
-    aligned_reads, start, counts, h = hash_reads(read_of_pair, target_of_pair)
+    try:
+        from ..native import hash_runs as _native_hash_runs
+
+        aligned_reads, start, counts, h = _native_hash_runs(keys, n_targets)
+    except ImportError:
+        aligned_reads, start, counts, h = hash_reads(read_of_pair, target_of_pair)
 
     # ECs ordered by ascending hash (std::map semantics).
     uniq_h, first_idx, inverse, ec_counts = np.unique(

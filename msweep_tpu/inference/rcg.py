@@ -210,37 +210,70 @@ def _step_epilogue(st, tol, verbose, gamma_new, d_new, n_new, newnorm, delta, bo
     )
 
 
-def _make_step_pallas(tol: float, verbose: bool, interpret: bool):
+def _make_step_pallas(tol: float, verbose: bool, interpret: bool, mesh=None):
     """Step built on the fused Pallas kernels (ops/rcg_pallas.py).
 
     Identical math to _make_step: two fused passes over the (E, G)
     matrices (norm, then update) with per-block f32 partials summed in
     f64 here, exactly mirroring _rowsum_acc/_colsum_acc two-stage
     accumulation.
+
+    With a mesh, the kernel calls run under shard_map over the "ec"
+    axis: each device runs the fused kernels on its EC shard and the
+    G-sized sufficient statistics (newnorm, colsum, ELBO delta) merge
+    with psum over ICI — the TPU-native form of the reference's
+    MPI-allreduce design (docs/compilation.md:40-58).
     """
     from ..ops import rcg_pallas
 
-    def step(st: RCGState, logL, counts, alpha):
-        acc = acc_dtype()
-        dtype = logL.dtype
+    acc = acc_dtype()
 
-        counts2d = counts[:, None]
-        psi = digamma(st.n_counts).astype(dtype)[None, :]
-
-        newnorm = rcg_pallas.rcg_norm(
-            logL, st.gamma, counts2d, psi, interpret=interpret
-        ).astype(acc)
+    def kernels(logL, gamma, d, counts2d, psi, oldnorm, no_momentum):
+        """Per-shard kernel calls; reductions are shard-local here."""
+        newnorm_f32, lse1, rowelbo = rcg_pallas.rcg_norm(
+            logL, gamma, counts2d, psi, interpret=interpret
+        )
+        newnorm = newnorm_f32.astype(acc)
+        if mesh is not None:
+            newnorm = jax.lax.psum(newnorm, "ec")
         beta_fr = jnp.where(
-            st.just_reset | (st.it == 0) | (st.oldnorm <= 0),
-            jnp.zeros((), acc),
-            newnorm / st.oldnorm,
-        ).astype(dtype)
+            no_momentum | (oldnorm <= 0), jnp.zeros((), acc), newnorm / oldnorm
+        ).astype(logL.dtype)
 
         gamma_new, d_new, colsum, elbo_f32 = rcg_pallas.rcg_update(
-            logL, st.gamma, st.d, counts2d, psi, beta_fr, interpret=interpret
+            logL, gamma, d, counts2d, psi, lse1, rowelbo, beta_fr,
+            interpret=interpret,
         )
-        n_new = alpha.astype(acc) + colsum.astype(acc)
+        colsum = colsum.astype(acc)
         elbo_delta = elbo_f32.astype(acc)
+        if mesh is not None:
+            colsum = jax.lax.psum(colsum, "ec")
+            elbo_delta = jax.lax.psum(elbo_delta, "ec")
+        return gamma_new, d_new, colsum, elbo_delta, newnorm
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        sharded = P("ec", None)
+        rep = P()
+        kernels = shard_map(
+            kernels,
+            mesh=mesh,
+            in_specs=(sharded, sharded, sharded, sharded, rep, rep, rep),
+            out_specs=(sharded, sharded, rep, rep, rep),
+            check_vma=False,
+        )
+
+    def step(st: RCGState, logL, counts, alpha):
+        dtype = logL.dtype
+        psi = digamma(st.n_counts).astype(dtype)[None, :]
+        no_momentum = st.just_reset | (st.it == 0)
+
+        gamma_new, d_new, colsum, elbo_delta, newnorm = kernels(
+            logL, st.gamma, st.d, counts[:, None], psi, st.oldnorm, no_momentum
+        )
+        n_new = alpha.astype(acc) + colsum
         dirichlet_delta = jnp.sum(gammaln(n_new) - gammaln(st.n_counts))
         delta = elbo_delta + dirichlet_delta
         bound_new = st.bound + delta
@@ -283,13 +316,15 @@ def _rcg_init(logL, counts, alpha, bc):
 
 
 def _pick_impl(logL, mesh=None) -> str:
-    """Fused Pallas step on a single TPU chip with f32 matrices;
-    plain XLA otherwise (CPU, f64 validation runs, sharded meshes)."""
+    """Fused Pallas step on TPU with f32 matrices — single chip or an
+    "ec"-axis mesh (shard_map + psum); plain XLA otherwise (CPU and f64
+    validation runs)."""
     from ..ops import rcg_pallas
 
+    mesh_ok = mesh is None or tuple(mesh.axis_names) == ("ec",)
     if (
         jax.default_backend() == "tpu"
-        and mesh is None
+        and mesh_ok
         and rcg_pallas.supports(logL)
     ):
         return "pallas"
@@ -303,13 +338,14 @@ def _guarded_step(step, st, logL, counts, alpha):
     )
 
 
-@partial(jax.jit, static_argnames=("length", "tol", "verbose", "impl"))
+@partial(jax.jit, static_argnames=("length", "tol", "verbose", "impl", "mesh"))
 def _rcg_chunk(
-    state, logL, counts, alpha, *, length: int, tol: float, verbose: bool, impl: str = "xla"
+    state, logL, counts, alpha, *, length: int, tol: float, verbose: bool,
+    impl: str = "xla", mesh=None,
 ):
     """length iterations as one on-device lax.scan (XLA step impl)."""
     if impl == "pallas_interpret":  # CPU correctness testing of the kernels
-        step = _make_step_pallas(tol, verbose, interpret=True)
+        step = _make_step_pallas(tol, verbose, interpret=True, mesh=mesh)
     else:
         step = _make_step(tol, verbose)
 
@@ -320,8 +356,8 @@ def _rcg_chunk(
     return state
 
 
-@partial(jax.jit, static_argnames=("tol", "verbose"), donate_argnums=(0,))
-def _rcg_step_pallas_jit(state, logL, counts, alpha, *, tol: float, verbose: bool):
+@partial(jax.jit, static_argnames=("tol", "verbose", "mesh"), donate_argnums=(0,))
+def _rcg_step_pallas_jit(state, logL, counts, alpha, *, tol: float, verbose: bool, mesh=None):
     """One fused-kernel iteration, dispatched from the host.
 
     The Pallas path deliberately does NOT wrap its step in lax.scan:
@@ -331,7 +367,7 @@ def _rcg_step_pallas_jit(state, logL, counts, alpha, *, tol: float, verbose: boo
     back-to-back pipelines on device exactly like a scan; the state is
     donated so gamma/d update in place.
     """
-    step = _make_step_pallas(tol, verbose, interpret=False)
+    step = _make_step_pallas(tol, verbose, interpret=False, mesh=mesh)
     return _guarded_step(step, state, logL, counts, alpha)
 
 
@@ -346,9 +382,10 @@ def _fit_rcg_arrays(
     verbose: bool,
     chunk: int = 16,
     impl: str | None = None,
+    mesh=None,
 ):
     if impl is None:
-        impl = _pick_impl(logL)
+        impl = _pick_impl(logL, mesh)
     state = _rcg_init(logL, counts, alpha, bc)
     it = 0
     while it < max_iters:
@@ -356,11 +393,13 @@ def _fit_rcg_arrays(
         if impl == "pallas":
             for _ in range(n):  # async dispatches; sync only at chunk end
                 state = _rcg_step_pallas_jit(
-                    state, logL, counts, alpha, tol=float(tol), verbose=verbose
+                    state, logL, counts, alpha, tol=float(tol), verbose=verbose, mesh=mesh
                 )
         else:
             state = _rcg_chunk(
-                state, logL, counts, alpha, length=n, tol=float(tol), verbose=verbose, impl=impl
+                state, logL, counts, alpha, length=n, tol=float(tol),
+                verbose=verbose, impl=impl,
+                mesh=mesh if impl == "pallas_interpret" else None,
             )
         it += n
         if bool(state.done):
@@ -383,8 +422,8 @@ def fit_rcg(
     `gamma` keeps the padded (E_pad, G_pad) shape (slice with
     problem.n_ecs/n_groups when materializing outputs); `counts`
     optionally overrides problem.counts (bootstrap replicates).
-    `impl` None = auto: fused Pallas kernels on a single TPU chip,
-    XLA elsewhere.
+    `impl` None = auto: fused Pallas kernels on TPU (shard_map + psum on
+    an "ec" mesh), XLA elsewhere.
     """
     c = problem.counts if counts is None else counts
     if impl is None:
@@ -399,6 +438,7 @@ def fit_rcg(
         verbose=bool(verbose),
         chunk=chunk,
         impl=impl,
+        mesh=problem.mesh if impl.startswith("pallas") else None,
     )
 
 

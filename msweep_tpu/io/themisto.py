@@ -92,12 +92,50 @@ def _parse_plaintext_pairs_numpy(data: bytes) -> tuple[np.ndarray, np.ndarray, i
     )
 
 
+def _sorted_unique(keys: np.ndarray) -> np.ndarray:
+    """np.unique with an O(n) fast path for already-sorted input.
+
+    Themisto writes reads in order with ascending target ids per line, so
+    the (read*n_targets+target) keys are usually strictly increasing
+    already — np.unique's sort (the dominant merge cost on big samples)
+    is then pure waste.
+    """
+    if len(keys) < 2:
+        return keys
+    d = np.diff(keys.view(np.int64))  # wraparound impossible: keys < 2^63 in practice
+    if np.all(d > 0):
+        return keys
+    if np.all(d >= 0):  # sorted with duplicates
+        keep = np.empty(len(keys), dtype=bool)
+        keep[0] = True
+        np.not_equal(keys[1:], keys[:-1], out=keep[1:])
+        return keys[keep]
+    return np.unique(keys)
+
+
 def _pair_keys(read_ids: np.ndarray, target_ids: np.ndarray, n_targets: int) -> np.ndarray:
     """Sorted unique 64-bit keys read*n_targets+target (the reference's
     bit indices, include/mSWEEP_alignment.hpp:64)."""
     keys = read_ids * np.uint64(n_targets) + target_ids
-    keys = np.unique(keys)  # sorted; duplicates in the file collapse like bit set
-    return keys
+    return _sorted_unique(keys)  # duplicates in the file collapse like bit set
+
+
+def _intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Intersection of sorted unique arrays without the concat-and-resort
+    np.intersect1d performs (assume_unique still sorts the concatenation)."""
+    if len(a) == 0 or len(b) == 0:
+        return a[:0]
+    try:
+        from ..native import intersect_sorted as _native
+
+        return _native(a, b)  # single linear C pass
+    except ImportError:
+        pass
+    if len(a) > len(b):
+        a, b = b, a
+    idx = np.searchsorted(b, a)
+    idx[idx == len(b)] = len(b) - 1
+    return a[b[idx] == a]
 
 
 def merge_strands(
@@ -119,9 +157,20 @@ def merge_strands(
         if merged is None:
             merged = keys
         elif mode == "intersection":
-            merged = np.intersect1d(merged, keys, assume_unique=True)
+            merged = _intersect_sorted(merged, keys)
         elif mode == "union":
-            merged = np.union1d(merged, keys)
+            try:
+                from ..native import union_sorted as _native_union
+
+                merged = _native_union(merged, keys)
+            except ImportError:
+                u = np.concatenate([merged, keys])
+                u.sort(kind="mergesort")  # concatenation of two sorted runs
+                keep = np.empty(len(u), dtype=bool)
+                if len(u):
+                    keep[0] = True
+                    np.not_equal(u[1:], u[:-1], out=keep[1:])
+                merged = u[keep]
         else:
             raise ValueError(f"Unrecognized option `{mode}` for --themisto-mode")
     assert merged is not None

@@ -42,6 +42,16 @@ def _load():
         ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
     ]
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.msweep_intersect.restype = ctypes.c_int64
+    lib.msweep_intersect.argtypes = [u64p, ctypes.c_int64, u64p, ctypes.c_int64, u64p]
+    lib.msweep_union.restype = ctypes.c_int64
+    lib.msweep_union.argtypes = [u64p, ctypes.c_int64, u64p, ctypes.c_int64, u64p]
+    lib.msweep_hash_runs.restype = ctypes.c_int64
+    lib.msweep_hash_runs.argtypes = [
+        u64p, ctypes.c_int64, ctypes.c_uint64, u64p, i64p, i64p, u64p,
+    ]
     return lib
 
 
@@ -81,3 +91,45 @@ def parse_plaintext(data: bytes):
     if rc != 0:
         raise ValueError("File format not supported (non-numeric token)")
     return reads, tgts, int(line_counts.sum())
+
+
+def _u64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+def _i64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Linear intersection of sorted unique uint64 arrays."""
+    a = np.ascontiguousarray(a, np.uint64)
+    b = np.ascontiguousarray(b, np.uint64)
+    out = np.empty(min(len(a), len(b)), dtype=np.uint64)
+    k = _lib.msweep_intersect(_u64p(a), len(a), _u64p(b), len(b), _u64p(out))
+    return out[:k]
+
+
+def union_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Linear union of sorted unique uint64 arrays."""
+    a = np.ascontiguousarray(a, np.uint64)
+    b = np.ascontiguousarray(b, np.uint64)
+    out = np.empty(len(a) + len(b), dtype=np.uint64)
+    k = _lib.msweep_union(_u64p(a), len(a), _u64p(b), len(b), _u64p(out))
+    return out[:k]
+
+
+def hash_runs(keys: np.ndarray, n_targets: int):
+    """(reads, starts, counts, hashes) per aligned read — one linear pass
+    replacing core.alignment.hash_reads' k-iteration numpy scan."""
+    keys = np.ascontiguousarray(keys, np.uint64)
+    n = len(keys)
+    reads = np.empty(n, dtype=np.uint64)
+    starts = np.empty(n, dtype=np.int64)
+    counts = np.empty(n, dtype=np.int64)
+    hashes = np.empty(n, dtype=np.uint64)
+    nr = _lib.msweep_hash_runs(
+        _u64p(keys), n, ctypes.c_uint64(n_targets),
+        _u64p(reads), _i64p(starts), _i64p(counts), _u64p(hashes),
+    )
+    return reads[:nr], starts[:nr], counts[:nr], hashes[:nr]

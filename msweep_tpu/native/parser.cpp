@@ -125,4 +125,61 @@ int msweep_fill(const char* buf, int64_t n, int n_chunks,
     return err;
 }
 
+// Linear intersection of two sorted unique uint64 arrays (the paired-end
+// AND-merge, include/mSWEEP_alignment.hpp:126-129). Returns output count.
+int64_t msweep_intersect(const uint64_t* a, int64_t na,
+                         const uint64_t* b, int64_t nb, uint64_t* out) {
+    int64_t i = 0, j = 0, k = 0;
+    while (i < na && j < nb) {
+        uint64_t x = a[i], y = b[j];
+        if (x == y) { out[k++] = x; ++i; ++j; }
+        else if (x < y) ++i;
+        else ++j;
+    }
+    return k;
+}
+
+// Linear union of two sorted unique uint64 arrays (the OR-merge).
+int64_t msweep_union(const uint64_t* a, int64_t na,
+                     const uint64_t* b, int64_t nb, uint64_t* out) {
+    int64_t i = 0, j = 0, k = 0;
+    while (i < na && j < nb) {
+        uint64_t x = a[i], y = b[j];
+        if (x == y) { out[k++] = x; ++i; ++j; }
+        else if (x < y) { out[k++] = x; ++i; }
+        else { out[k++] = y; ++j; }
+    }
+    while (i < na) out[k++] = a[i++];
+    while (j < nb) out[k++] = b[j++];
+    return k;
+}
+
+// One linear pass over sorted (read*n_targets+target) keys: per-read run
+// starts, lengths and the reference's chained pattern hash
+// (include/mSWEEP_alignment.hpp:150-155).  Outputs are sized for the
+// worst case (one read per key); returns the number of aligned reads.
+int64_t msweep_hash_runs(const uint64_t* keys, int64_t n, uint64_t n_targets,
+                         uint64_t* reads, int64_t* starts, int64_t* counts,
+                         uint64_t* hashes) {
+    const uint64_t MIX = 0x517cc1b727220a95ULL;
+    int64_t nr = -1;
+    uint64_t prev_read = ~0ULL;
+    for (int64_t i = 0; i < n; ++i) {
+        uint64_t r = keys[i] / n_targets;
+        uint64_t t = keys[i] % n_targets;
+        if (r != prev_read) {
+            ++nr;
+            reads[nr] = r;
+            starts[nr] = i;
+            counts[nr] = 0;
+            hashes[nr] = 0;
+            prev_read = r;
+        }
+        ++counts[nr];
+        uint64_t h = hashes[nr];
+        hashes[nr] = h ^ (t + MIX + (h << 6) + (h >> 2));
+    }
+    return nr + 1;
+}
+
 }  // extern "C"

@@ -1,29 +1,42 @@
 """Fused Pallas TPU kernels for one rcg iteration.
 
 The rcg step (inference/rcg.py, reconstructing rcgpar::rcg_optl_* — call
-sites src/mSWEEP.cpp:176-205) is HBM-bandwidth-bound: per iteration it
-must stream the (E, G) arrays logL, gamma, d and write gamma', d'.  The
-Fletcher-Reeves coefficient needs a global reduction over the *current*
-natural-gradient direction before the update can be applied, so one
-iteration is inherently two passes:
+sites src/mSWEEP.cpp:176-205) streams the (E, G) arrays logL, gamma, d
+and writes gamma', d' each iteration.  The Fletcher-Reeves coefficient
+needs a global reduction over the *current* natural-gradient direction
+before the update can be applied, so one iteration is inherently two
+passes:
 
-  pass 1 (norm):    read logL, gamma            -> newnorm
-  pass 2 (update):  read logL, gamma, d
-                    write gamma', d'            -> colsum / ELBO-delta
+  pass 1 (norm):    read logL, gamma            -> newnorm, lse1,
+                                                   per-row old ELBO terms
+  pass 2 (update):  read logL, gamma, d (+ the (E,1) pass-1 vectors)
+                    write gamma', d'            -> colsum, ELBO delta
 
-Total 7 (E, G)-array traffics per iteration — the speed-of-light for
-this algorithm at f32 on one chip.  The unfused XLA graph materializes
-eta, the row-softmax, both weight matrices and the revert selects, and
-measures ~2-3x more traffic.
+Total 7 (E, G)-array traffics plus ~3/G of vector traffic per iteration.
+On top of the bandwidth floor the step is exp-bound on the VPU, so the
+kernels are arranged to spend exactly THREE exp sweeps per iteration:
 
-All row-block work (row logsumexp, exp, weighted sums) happens in VMEM.
-Reductions accumulate across the sequential TPU grid into small
-constant-index output blocks (TPU grid steps run in order on one core,
-so read-modify-write of a resident output block is the standard Pallas
-accumulation pattern); the f32 running sums lose the two-stage f64
-accumulation of the XLA path but stay within f32 round-off of it, which
-is already the noise floor of an f32 trajectory.  G rides the 128-wide
-lanes in one block (G_pad <= _MAX_G), the E axis is the grid.
+  1. exp(t - m) for the row logsumexp of eta        (pass 1)
+  2. exp(gamma) for the metric weights              (pass 1)
+  3. exp(u - m2) for the retraction row-softmax     (pass 2)
+
+Pass 2 reuses its softmax numerator for the new weights
+(w_new = c * e2 / sum(e2) == c * exp(gamma_new), exactly), and reads
+lse1 from pass 1 instead of recomputing eta: the identity
+rownorm(gamma + d_new) = u - lse(u) with u = t + beta*d means the
+retraction never needs lse1, only d_new = u - lse1 - gamma does.
+
+The ELBO data-term change is accumulated from per-row differences
+(sum_g w_new(logL - gamma') minus pass 1's per-row old sums): rows
+change little near convergence, so the row-level cancellation keeps the
+f64 total accurate at tolerances far below f32 resolution of the whole
+term (same reasoning as rcg.py module docstring point 2).
+
+Reductions accumulate across the sequential TPU grid into
+constant-index output tiles (grid steps run in order on one core, so
+read-modify-write of a resident output block is the standard Pallas
+accumulation pattern).  G rides the 128-wide lanes in one block
+(G_pad <= _MAX_G), the E axis is the grid.
 
 Padding contract (inference/pack.py): padded rows have counts == 0 so
 they contribute 0 to every partial; padded group columns hold NEG so
@@ -39,14 +52,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# One (block_e, G) f32 block of every operand must fit VMEM with double
-# buffering: 5 live matrices x 2 buffers x block bytes << 16 MB.
+# Every (block_e, G) f32 operand block must fit VMEM (~16 MB) with
+# double buffering.  512KB blocks measured fastest on v5e across kernels
+# (2MB: ~-15%; 4MB: VMEM stack OOM) — the pipeline wants enough grid
+# steps in flight to hide DMA behind compute.
 _MAX_G = 4096
-_TARGET_BLOCK_BYTES = 512 * 1024
 
 
-def _pick_block_e(E: int, G: int) -> int:
-    target = max(8, _TARGET_BLOCK_BYTES // (G * 4))
+def _pick_block_e(E: int, G: int, target_bytes: int = 512 * 1024) -> int:
+    target = max(8, target_bytes // (G * 4))
     be = 8  # E_pad is always a multiple of 8 (pack.SUBLANE)
     while be * 2 <= target and E % (be * 2) == 0:
         be *= 2
@@ -58,20 +72,28 @@ def _row_logsumexp(t):
     return m + jnp.log(jnp.sum(jnp.exp(t - m), axis=1, keepdims=True))
 
 
-def _norm_kernel(logL_ref, gamma_ref, counts_ref, psi_ref, out_ref):
-    """Accumulate sum(c * phi * s^2), s = rownorm(logL+psi) - gamma."""
+def _acc_add(ref, value):
+    """Full-tile broadcast accumulate (scalar and sub-tile VMEM stores are
+    not supported by the Mosaic lowering); every cell carries the running
+    total, the caller reads [0, 0] / row 0."""
+    ref[:, :] += jnp.broadcast_to(value, ref.shape)
 
+
+def _norm_kernel(logL_ref, gamma_ref, counts_ref, psi_ref,
+                 norm_ref, lse1_ref, rowelbo_ref):
     @pl.when(pl.program_id(0) == 0)
     def _():
-        out_ref[:, :] = jnp.zeros_like(out_ref)
+        norm_ref[:, :] = jnp.zeros_like(norm_ref)
 
-    t = logL_ref[:] + psi_ref[:]
-    s = (t - _row_logsumexp(t)) - gamma_ref[:]
-    w = counts_ref[:] * jnp.exp(gamma_ref[:])
-    # Full-tile broadcast accumulate (scalar and sub-tile VMEM stores are
-    # not supported by the Mosaic lowering); every cell carries the
-    # running total, the caller reads [0, 0].
-    out_ref[:, :] += jnp.full(out_ref.shape, jnp.sum(w * s * s), out_ref.dtype)
+    logL = logL_ref[:]
+    gamma = gamma_ref[:]
+    t = logL + psi_ref[:]
+    lse1 = _row_logsumexp(t)  # exp sweep 1
+    s = (t - lse1) - gamma
+    w = counts_ref[:] * jnp.exp(gamma)  # exp sweep 2
+    lse1_ref[:, :] = lse1
+    rowelbo_ref[:, :] = jnp.sum(w * (logL - gamma), axis=1, keepdims=True)
+    _acc_add(norm_ref, jnp.sum(w * s * s))
 
 
 def _update_kernel(
@@ -81,13 +103,13 @@ def _update_kernel(
     d_ref,
     counts_ref,
     psi_ref,
+    lse1_ref,
+    rowelbo_ref,
     gnew_ref,
     dnew_ref,
     colsum_ref,
     elbo_ref,
 ):
-    """Conjugate step + simplex retraction + sufficient-stat partials."""
-
     @pl.when(pl.program_id(0) == 0)
     def _():
         colsum_ref[:, :] = jnp.zeros_like(colsum_ref)
@@ -96,30 +118,23 @@ def _update_kernel(
     logL = logL_ref[:]
     gamma = gamma_ref[:]
     t = logL + psi_ref[:]
-    s = (t - _row_logsumexp(t)) - gamma
+    u = t + beta_ref[0, 0] * d_ref[:]
 
-    d_new = s + beta_ref[0, 0] * d_ref[:]
-    g_un = gamma + d_new
-    g_new = g_un - _row_logsumexp(g_un)
+    # rownorm(gamma + d_new) == u - lse(u): the lse1 shift cancels.
+    m2 = jnp.max(u, axis=1, keepdims=True)
+    e2 = jnp.exp(u - m2)  # exp sweep 3 — reused for the weights below
+    s2 = jnp.sum(e2, axis=1, keepdims=True)
+    g_new = (u - m2) - jnp.log(s2)
+    d_new = (u - lse1_ref[:]) - gamma
 
     c = counts_ref[:]
-    w_old = c * jnp.exp(gamma)
-    w_new = c * jnp.exp(g_new)
+    w_new = (c / s2) * e2  # == c * exp(g_new), no extra exp sweep
 
     gnew_ref[:] = g_new
     dnew_ref[:] = d_new
-    # Full-tile broadcast accumulates (see _norm_kernel): row 0 of the
-    # colsum tile and cell [0,0] of the elbo tile are what the caller reads.
-    colsum_ref[:, :] += jnp.broadcast_to(
-        jnp.sum(w_new, axis=0, keepdims=True), colsum_ref.shape
-    )
-    # ELBO data-term change as elementwise differences (f32-safe near
-    # convergence; see rcg.py module docstring point 2).
-    elbo_ref[:, :] += jnp.full(
-        elbo_ref.shape,
-        jnp.sum(w_new * (logL - g_new) - w_old * (logL - gamma)),
-        elbo_ref.dtype,
-    )
+    _acc_add(colsum_ref, jnp.sum(w_new, axis=0, keepdims=True))
+    row_new = jnp.sum(w_new * (logL - g_new), axis=1, keepdims=True)
+    _acc_add(elbo_ref, jnp.sum(row_new - rowelbo_ref[:]))
 
 
 def supports(logL) -> bool:
@@ -136,6 +151,10 @@ def _mat_spec(be, G):
     return pl.BlockSpec((be, G), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
 
+def _vec_spec(be):
+    return pl.BlockSpec((be, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+
 def _acc_spec(rows, cols):
     """Constant-index accumulator block resident in VMEM for all steps."""
     return pl.BlockSpec((rows, cols), lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -143,36 +162,42 @@ def _acc_spec(rows, cols):
 
 @partial(jax.jit, static_argnames=("interpret",))
 def rcg_norm(logL, gamma, counts2d, psi, *, interpret: bool = False):
-    """newnorm as an (8, 128) accumulator; the scalar lives at [0, 0]."""
+    """Returns (newnorm scalar f32, lse1 (E,1) f32, rowelbo_old (E,1) f32)."""
     E, G = logL.shape
-    be = _pick_block_e(E, G)
+    be = _pick_block_e(E, G)  # 512KB blocks measured fastest on v5e
     # x64 mode turns index-map literals into i64 scalars, which the
     # Mosaic lowering cannot legalize; kernels are pure f32/i32.
     with jax.enable_x64(False):
-        out = pl.pallas_call(
+        norm, lse1, rowelbo = pl.pallas_call(
             _norm_kernel,
             grid=(E // be,),
             in_specs=[
                 _mat_spec(be, G),
                 _mat_spec(be, G),
-                pl.BlockSpec((be, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                _vec_spec(be),
                 pl.BlockSpec((1, G), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
-            out_specs=_acc_spec(8, 128),
-            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            out_specs=[_acc_spec(8, 128), _vec_spec(be), _vec_spec(be)],
+            out_shape=[
+                jax.ShapeDtypeStruct((8, 128), jnp.float32),
+                jax.ShapeDtypeStruct((E, 1), jnp.float32),
+                jax.ShapeDtypeStruct((E, 1), jnp.float32),
+            ],
             interpret=interpret,
         )(logL, gamma, counts2d, psi)
-    return out[0, 0]
+    return norm[0, 0], lse1, rowelbo
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def rcg_update(logL, gamma, d, counts2d, psi, beta, *, interpret: bool = False):
+def rcg_update(logL, gamma, d, counts2d, psi, lse1, rowelbo, beta, *, interpret: bool = False):
     """Apply the conjugate step.
 
-    Returns (gamma_new, d_new, colsum (G,) f32, elbo_delta scalar f32).
+    Returns (gamma_new, d_new, colsum (G,) f32, elbo_delta scalar f32)
+    where elbo_delta is already the data-term CHANGE vs the pre-step
+    state (row-level differencing against pass 1's per-row sums).
     """
     E, G = logL.shape
-    be = _pick_block_e(E, G)
+    be = _pick_block_e(E, G)  # 512KB blocks measured fastest on v5e
     beta2d = jnp.asarray(beta, jnp.float32).reshape(1, 1)
     with jax.enable_x64(False):
         gamma_new, d_new, colsum, elbo = pl.pallas_call(
@@ -183,8 +208,10 @@ def rcg_update(logL, gamma, d, counts2d, psi, beta, *, interpret: bool = False):
                 _mat_spec(be, G),
                 _mat_spec(be, G),
                 _mat_spec(be, G),
-                pl.BlockSpec((be, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                _vec_spec(be),
                 pl.BlockSpec((1, G), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                _vec_spec(be),
+                _vec_spec(be),
             ],
             out_specs=[
                 _mat_spec(be, G),
@@ -199,5 +226,5 @@ def rcg_update(logL, gamma, d, counts2d, psi, beta, *, interpret: bool = False):
                 jax.ShapeDtypeStruct((8, 128), jnp.float32),
             ],
             interpret=interpret,
-        )(beta2d, logL, gamma, d, counts2d, psi)
+        )(beta2d, logL, gamma, d, counts2d, psi, lse1, rowelbo)
     return gamma_new, d_new, colsum[0, :], elbo[0, 0]
