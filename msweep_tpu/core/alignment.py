@@ -107,17 +107,23 @@ def collapse(
 ) -> CollapsedAlignment:
     """Collapse merged (read*n_targets+target) keys into equivalence classes.
 
-    `keys` must be sorted unique (output of merge_strands), which means the
-    pairs are sorted by (read, target) — exactly the ascending bit-scan
-    order the reference hashes in.
+    `keys` must be sorted unique (output of merge_strands) in the
+    key_radix(n_targets) encoding (io.themisto.key_radix), which means
+    the pairs are sorted by (read, target) — exactly the ascending
+    bit-scan order the reference hashes in.
     """
-    read_of_pair = keys // np.uint64(n_targets)
-    target_of_pair = keys % np.uint64(n_targets)
+    from ..io.themisto import key_radix
+
+    radix = key_radix(n_targets)
+    shift = np.uint64(radix.bit_length() - 1)
+    mask = np.uint64(radix - 1)
+    read_of_pair = keys >> shift
+    target_of_pair = keys & mask
 
     try:
         from ..native import hash_runs as _native_hash_runs
 
-        aligned_reads, start, counts, h = _native_hash_runs(keys, n_targets)
+        aligned_reads, start, counts, h = _native_hash_runs(keys, int(shift))
     except ImportError:
         aligned_reads, start, counts, h = hash_reads(read_of_pair, target_of_pair)
 

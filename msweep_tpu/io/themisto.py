@@ -113,10 +113,22 @@ def _sorted_unique(keys: np.ndarray) -> np.ndarray:
     return np.unique(keys)
 
 
+def key_radix(n_targets: int) -> int:
+    """Internal (read, target) key radix: next power of two >= n_targets.
+
+    The reference's bit indices are read*n_targets+target
+    (include/mSWEEP_alignment.hpp:64); using a power-of-two radix keeps
+    the same ordering and uniqueness while turning the encode/decode
+    into shifts — numpy's uint64 multiply/divide are ~15x slower than
+    shift/mask on x86.
+    """
+    return 1 << max(1, int(n_targets - 1).bit_length())
+
+
 def _pair_keys(read_ids: np.ndarray, target_ids: np.ndarray, n_targets: int) -> np.ndarray:
-    """Sorted unique 64-bit keys read*n_targets+target (the reference's
-    bit indices, include/mSWEEP_alignment.hpp:64)."""
-    keys = read_ids * np.uint64(n_targets) + target_ids
+    """Sorted unique 64-bit keys in key_radix(n_targets) encoding."""
+    shift = np.uint64(key_radix(n_targets).bit_length() - 1)
+    keys = (read_ids << shift) | target_ids
     return _sorted_unique(keys)  # duplicates in the file collapse like bit set
 
 

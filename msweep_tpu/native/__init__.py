@@ -119,9 +119,10 @@ def union_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return out[:k]
 
 
-def hash_runs(keys: np.ndarray, n_targets: int):
+def hash_runs(keys: np.ndarray, shift: int):
     """(reads, starts, counts, hashes) per aligned read — one linear pass
-    replacing core.alignment.hash_reads' k-iteration numpy scan."""
+    replacing core.alignment.hash_reads' k-iteration numpy scan.  `shift`
+    is the power-of-two key radix exponent (io.themisto.key_radix)."""
     keys = np.ascontiguousarray(keys, np.uint64)
     n = len(keys)
     reads = np.empty(n, dtype=np.uint64)
@@ -129,7 +130,7 @@ def hash_runs(keys: np.ndarray, n_targets: int):
     counts = np.empty(n, dtype=np.int64)
     hashes = np.empty(n, dtype=np.uint64)
     nr = _lib.msweep_hash_runs(
-        _u64p(keys), n, ctypes.c_uint64(n_targets),
+        _u64p(keys), n, ctypes.c_uint64(shift),
         _u64p(reads), _i64p(starts), _i64p(counts), _u64p(hashes),
     )
     return reads[:nr], starts[:nr], counts[:nr], hashes[:nr]

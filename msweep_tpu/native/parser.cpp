@@ -154,19 +154,21 @@ int64_t msweep_union(const uint64_t* a, int64_t na,
     return k;
 }
 
-// One linear pass over sorted (read*n_targets+target) keys: per-read run
+// One linear pass over sorted (read << shift | target) keys: per-read run
 // starts, lengths and the reference's chained pattern hash
-// (include/mSWEEP_alignment.hpp:150-155).  Outputs are sized for the
+// (include/mSWEEP_alignment.hpp:150-155).  `shift` is the power-of-two
+// key radix exponent (io.themisto.key_radix).  Outputs are sized for the
 // worst case (one read per key); returns the number of aligned reads.
-int64_t msweep_hash_runs(const uint64_t* keys, int64_t n, uint64_t n_targets,
+int64_t msweep_hash_runs(const uint64_t* keys, int64_t n, uint64_t shift,
                          uint64_t* reads, int64_t* starts, int64_t* counts,
                          uint64_t* hashes) {
     const uint64_t MIX = 0x517cc1b727220a95ULL;
+    const uint64_t mask = (1ULL << shift) - 1;
     int64_t nr = -1;
     uint64_t prev_read = ~0ULL;
     for (int64_t i = 0; i < n; ++i) {
-        uint64_t r = keys[i] / n_targets;
-        uint64_t t = keys[i] % n_targets;
+        uint64_t r = keys[i] >> shift;
+        uint64_t t = keys[i] & mask;
         if (r != prev_read) {
             ++nr;
             reads[nr] = r;

@@ -78,11 +78,14 @@ def test_hash_matches_reference_mixer():
 
 def test_collapse_toy():
     # reads: 0:{1,2} 1:{1,2} 2:{0} 3:(none) 4:{1,2} 5:{0}
+    from msweep_tpu.io.themisto import key_radix
+
     T = 4
+    R = key_radix(T)
     keys = []
     for read, tgts in [(0, [1, 2]), (1, [1, 2]), (2, [0]), (4, [1, 2]), (5, [0])]:
         for t in tgts:
-            keys.append(read * T + t)
+            keys.append(read * R + t)
     keys = np.array(sorted(keys), dtype=np.uint64)
     aln = collapse(keys, n_targets=T, n_reads=6)
 
@@ -109,13 +112,16 @@ def test_collapse_toy():
 
 
 def test_collapse_deterministic_order():
+    from msweep_tpu.io.themisto import key_radix
+
     rng = np.random.default_rng(7)
     T = 100
+    R = key_radix(T)
     keys = set()
     for read in range(500):
         for t in rng.choice(T, size=rng.integers(1, 6), replace=False):
-            keys.add(read * T + int(t))
+            keys.add(read * R + int(t))
     keys = np.array(sorted(keys), dtype=np.uint64)
     aln = collapse(keys, n_targets=T, n_reads=500)
     assert np.all(np.diff(aln.hashes.astype(object)) > 0)  # strictly ascending
-    assert aln.ec_counts.sum() == len(np.unique(keys // T))
+    assert aln.ec_counts.sum() == len(np.unique(keys // R))
