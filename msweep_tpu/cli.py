@@ -103,6 +103,8 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--backend", default=None, help="(extension) force jax platform, e.g. cpu or tpu.")
     x.add_argument("--precision", default=None, choices=["float", "double"], help="(extension) matrix dtype for any algorithm.")
     x.add_argument("--shards", type=int, default=0, help="(extension) shard the EC axis over this many devices (0 = all available).")
+    x.add_argument("--write-checkpoint", help="(extension) save the built likelihood problem as a full-precision npz checkpoint.")
+    x.add_argument("--read-checkpoint", help="(extension) resume from an npz checkpoint, skipping alignment ingestion and likelihood build.")
     return p
 
 
@@ -220,7 +222,8 @@ def _run(args, alignment_paths: list[str], log: Log) -> int:
     bin_reads_mode = args.bin_reads
 
     aln = None
-    if not args.read_likelihood:
+    resume = bool(args.read_likelihood or args.read_checkpoint)
+    if not resume:
         log("  reading pseudoalignments")
         strands = []
         n_reads = 0
@@ -245,12 +248,26 @@ def _run(args, alignment_paths: list[str], log: Log) -> int:
             "Using more than one grouping with --read-likelihood is not yet implemented."
         )
 
+    if args.read_checkpoint and bin_reads_mode:
+        raise RuntimeError("--read-checkpoint is incompatible with --bin-reads")
+
     mesh = make_ec_mesh(args.shards) if args.shards != 1 else None
 
     for gi in range(n_groupings):
         grouping = reference.groupings[gi]
 
-        if args.read_likelihood:
+        if args.read_checkpoint:
+            log("  reading likelihood checkpoint")
+            from .io.checkpoint import load_checkpoint
+
+            lik, ckpt_names = load_checkpoint(args.read_checkpoint)
+            if lik.n_groups_total != grouping.n_groups:
+                raise RuntimeError(
+                    f"checkpoint has {lik.n_groups_total} groups but the "
+                    f"grouping file has {grouping.n_groups}"
+                )
+            sample = make_sample(lik.ec_counts, int(lik.ec_counts.sum()))
+        elif args.read_likelihood:
             log("  reading likelihoods from file")
             text = read_input_bytes(args.read_likelihood).decode()
             lik = read_likelihood_msweep(text, grouping.n_groups)
@@ -267,6 +284,15 @@ def _run(args, alignment_paths: list[str], log: Log) -> int:
                 zero_inflation=args.zero_inflation,
             )
             sample = make_sample(aln.ec_counts, aln.n_reads)
+
+        if args.write_checkpoint:
+            log("  writing likelihood checkpoint")
+            from .io.checkpoint import save_checkpoint
+
+            path = args.write_checkpoint
+            if n_groupings > 1:
+                path = f"{path}.{gi}" if gi else path
+            save_checkpoint(path, lik, grouping.names)
 
         if args.write_likelihood or args.write_likelihood_bitseq:
             fmt_name = "bitseq" if args.write_likelihood_bitseq else "mSWEEP"

@@ -242,3 +242,55 @@ def test_missing_outdir_fails(dataset):
         "-o", "/nonexistent_dir_xyz/215",
     ])
     assert rc == 1
+
+
+def test_pack_cli_roundtrip(tmp_path, capsys):
+    # plaintext -> packed -> plaintext round trip via the standalone codec
+    # CLI (the alignment-writer binary equivalent).
+    from msweep_tpu import cli_pack
+
+    src = tmp_path / "a.txt"
+    src.write_text("0 1 3\n1\n2 0 1 2\n")
+    import sys, io
+    old = sys.stdout
+    try:
+        sys.stdout = io.TextIOWrapper(io.BytesIO(), encoding="utf-8")
+        cli_pack.main(["pack", "-n", "4", str(src)])
+        sys.stdout.flush()
+        packed_bytes = sys.stdout.buffer.getvalue()
+    finally:
+        sys.stdout = old
+    aln = tmp_path / "a.aln"
+    aln.write_bytes(packed_bytes)
+    assert packed_bytes.split(b"\n", 1)[0] == b"3,4"
+
+    try:
+        sys.stdout = io.TextIOWrapper(io.BytesIO(), encoding="utf-8")
+        cli_pack.main(["unpack", str(aln)])
+        sys.stdout.flush()
+        text = sys.stdout.buffer.getvalue().decode()
+    finally:
+        sys.stdout = old
+    assert text == "0 1 3\n1\n2 0 1 2\n"
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import numpy as np
+    from msweep_tpu.core.alignment import collapse
+    from msweep_tpu.core.likelihood import build_likelihood
+    from msweep_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+    from msweep_tpu.io.themisto import merge_strands
+
+    r = np.array([0, 0, 1, 2, 2, 2], dtype=np.uint64)
+    t = np.array([0, 1, 2, 0, 1, 3], dtype=np.uint64)
+    keys = merge_strands([(r, t)], 4, "intersection")
+    aln = collapse(keys, 4, 3)
+    ind = np.array([0, 0, 1, 1])
+    lik = build_likelihood(aln, ind, np.array([2, 2]))
+    p = tmp_path / "ck.npz"
+    save_checkpoint(str(p), lik, ["a", "b"])
+    lik2, names = load_checkpoint(str(p))
+    assert names == ["a", "b"]
+    np.testing.assert_allclose(lik2.dense(), lik.dense())
+    np.testing.assert_array_equal(lik2.ec_counts, lik.ec_counts)
+    assert lik2.n_groups == lik.n_groups
