@@ -105,6 +105,7 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--shards", type=int, default=0, help="(extension) shard the EC axis over this many devices (0 = all available).")
     x.add_argument("--write-checkpoint", help="(extension) save the built likelihood problem as a full-precision npz checkpoint.")
     x.add_argument("--read-checkpoint", help="(extension) resume from an npz checkpoint, skipping alignment ingestion and likelihood build.")
+    x.add_argument("--trace-dir", help="(extension) write a jax.profiler trace of the estimation to this directory (view with tensorboard/xprof).")
     return p
 
 
@@ -320,14 +321,32 @@ def _run(args, alignment_paths: list[str], log: Log) -> int:
             alpha = np.array([float(v) for v in args.alphas.split(",")], dtype=np.float64)
 
         problem = pack_problem(lik, alpha=alpha, dtype=dtype, mesh=mesh)
-        gamma, n_iters, objective = fit(
-            problem,
-            args.algorithm,
-            tol=args.tol,
-            max_iters=args.max_iters,
-            verbose=args.verbose,
+        import contextlib
+        import time as _time
+
+        trace_ctx = (
+            jax.profiler.trace(args.trace_dir)
+            if args.trace_dir
+            else contextlib.nullcontext()
         )
-        log(f"  optimizer finished after {int(n_iters)} iterations")
+        t_fit = _time.time()
+        with trace_ctx:
+            gamma, n_iters, objective = fit(
+                problem,
+                args.algorithm,
+                tol=args.tol,
+                max_iters=args.max_iters,
+                verbose=args.verbose,
+            )
+            jax.block_until_ready(gamma)
+        t_fit = _time.time() - t_fit
+        n_it = max(int(n_iters), 1)
+        log(
+            f"  optimizer finished after {int(n_iters)} iterations "
+            f"({t_fit:.2f}s, {n_it / t_fit:.2f} it/s)"
+        )
+        if args.trace_dir:
+            log(f"  wrote profiler trace to {args.trace_dir}")
 
         if args.run_rate:
             print(
