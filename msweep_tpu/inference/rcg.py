@@ -210,7 +210,34 @@ def _step_epilogue(st, tol, verbose, gamma_new, d_new, n_new, newnorm, delta, bo
     )
 
 
-def _make_step_pallas(tol: float, verbose: bool, interpret: bool, mesh=None):
+def _step_epilogue_optimistic(st, verbose, gamma_new, d_new, n_new, newnorm, delta, bound_new):
+    """Always-accept epilogue: no revert/convergence cond on the big buffers.
+
+    The accept/revert lax.cond in _step_epilogue costs ~4 extra (E, G)
+    HBM traffics per iteration (XLA materializes the selected buffers),
+    nearly doubling the per-iteration cost, to guard against an event
+    that only occurs at the numerical floor.  The optimistic step always
+    accepts; the HOST detects events from the per-iteration delta
+    history at chunk boundaries and replays the chunk exactly when one
+    fired (see _fit_rcg_pallas_optimistic) — per-iteration semantics are
+    preserved, the hot path never pays for the cond.
+    """
+    if verbose:
+        jax.debug.print("  iter {i}  bound {b}", i=st.it + 1, b=bound_new)
+    return RCGState(
+        gamma=gamma_new,
+        d=d_new,
+        n_counts=n_new,
+        oldnorm=newnorm,
+        bound=bound_new,
+        delta=delta,
+        it=st.it + 1,
+        done=st.done,
+        just_reset=jnp.zeros((), bool),
+    )
+
+
+def _make_step_pallas(tol: float, verbose: bool, interpret: bool, mesh=None, optimistic: bool = False):
     """Step built on the fused Pallas kernels (ops/rcg_pallas.py).
 
     Identical math to _make_step: two fused passes over the (E, G)
@@ -278,6 +305,10 @@ def _make_step_pallas(tol: float, verbose: bool, interpret: bool, mesh=None):
         delta = elbo_delta + dirichlet_delta
         bound_new = st.bound + delta
 
+        if optimistic:
+            return _step_epilogue_optimistic(
+                st, verbose, gamma_new, d_new, n_new, newnorm, delta, bound_new
+            )
         return _step_epilogue(
             st, tol, verbose, gamma_new, d_new, n_new, newnorm, delta, bound_new
         )
@@ -366,9 +397,117 @@ def _rcg_step_pallas_jit(state, logL, counts, alpha, *, tol: float, verbose: boo
     in <1s).  Host dispatch is asynchronous, so issuing `chunk` of these
     back-to-back pipelines on device exactly like a scan; the state is
     donated so gamma/d update in place.
+
+    This exact (cond-ful) variant is the REPLAY step of the optimistic
+    scheme; the hot path is _rcg_opt_step_*.
     """
     step = _make_step_pallas(tol, verbose, interpret=False, mesh=mesh)
     return _guarded_step(step, state, logL, counts, alpha)
+
+
+def _opt_step(state, hist, it0, logL, counts, alpha, *, verbose, mesh, interpret):
+    step = _make_step_pallas(
+        tol=-1.0, verbose=verbose, interpret=interpret, mesh=mesh, optimistic=True
+    )
+    new = step(state, logL, counts, alpha)
+    hist = jax.lax.dynamic_update_slice(hist, new.delta[None], (state.it - it0,))
+    return new, hist
+
+
+# Two compilations of the optimistic step: the first step of each chunk
+# must NOT donate its input — the undonated pre-chunk state is the free
+# snapshot the replay path restores from (donation only recycles buffers,
+# so skipping it costs nothing extra).
+_rcg_opt_step_donate = partial(
+    jax.jit, static_argnames=("verbose", "mesh", "interpret"), donate_argnums=(0, 1)
+)(_opt_step)
+_rcg_opt_step_fresh = partial(
+    jax.jit, static_argnames=("verbose", "mesh", "interpret")
+)(_opt_step)
+
+
+def _fit_rcg_pallas_optimistic(
+    state, logL, counts, alpha, *, tol, max_iters, verbose, chunk, mesh, interpret=False
+):
+    """Host driver for the optimistic Pallas path.
+
+    Chunks of always-accept steps run device-resident (async host
+    dispatches, donated buffers); each step records its ELBO delta in a
+    tiny (chunk,)-history.  At the chunk boundary the host fetches the
+    history (one small transfer — the only sync) and scans it for the
+    first EVENT: a bound decrease (exact semantics: revert + momentum
+    reset) or convergence (0 <= delta < tol).  Event-free chunks — all
+    iterations except the last few near the numerical floor — never pay
+    for the accept/revert cond, which costs ~4 (E, G) HBM traffics per
+    iteration when done in-device.
+
+    On an event at chunk-local step j the chunk is REPLAYED from the
+    (undonated) chunk-start snapshot: j optimistic steps (identical
+    results by determinism) for a convergence event, or the exact
+    cond-ful step for the remainder when a revert fired.  Per-iteration
+    trajectories and iteration counts therefore match the exact path
+    bit-for-bit.
+    """
+    import numpy as np
+
+    acc = acc_dtype()
+    it = 0
+    while it < max_iters:
+        n = min(chunk, max_iters - it)
+        snapshot = state
+        hist = jnp.zeros((n,), acc)
+        # Real copy (not an alias of state.it): the revert branch donates
+        # the snapshot's buffers while it0 may still be referenced.
+        it0 = state.it + jnp.zeros((), state.it.dtype)
+        for j in range(n):
+            stepper = _rcg_opt_step_fresh if j == 0 else _rcg_opt_step_donate
+            state, hist = stepper(
+                state, hist, it0, logL, counts, alpha,
+                verbose=verbose, mesh=mesh, interpret=interpret,
+            )
+        if tol < 0:  # bench mode: no convergence, no replay
+            it += n
+            continue
+        h = np.asarray(hist)  # chunk-boundary sync
+        decreased = h < 0
+        converged = (h >= 0) & (h < tol)
+        event = decreased | converged
+        if not event.any():
+            it += n
+            continue
+        j = int(np.argmax(event))
+        # Restore the chunk-start state and re-run exactly.
+        state = snapshot
+        if converged[j] and not decreased[j]:
+            # Deterministic replay of the j+1 accepted steps, then stop.
+            hist2 = jnp.zeros((n,), acc)
+            for k in range(j + 1):
+                stepper = _rcg_opt_step_fresh if k == 0 else _rcg_opt_step_donate
+                state, hist2 = stepper(
+                    state, hist2, it0, logL, counts, alpha,
+                    verbose=verbose, mesh=mesh, interpret=interpret,
+                )
+            return state._replace(done=jnp.ones((), bool))
+        # A revert fired: finish the fit with the exact cond-ful step
+        # (reverts cluster at the numerical floor, so this tail is short).
+        while it < max_iters:
+            m = min(chunk, max_iters - it)
+            for _ in range(m):
+                if interpret:
+                    state = _rcg_chunk(
+                        state, logL, counts, alpha, length=1, tol=float(tol),
+                        verbose=verbose, impl="pallas_interpret", mesh=mesh,
+                    )
+                else:
+                    state = _rcg_step_pallas_jit(
+                        state, logL, counts, alpha, tol=float(tol),
+                        verbose=verbose, mesh=mesh,
+                    )
+            it += m
+            if bool(state.done):
+                break
+        return state
+    return state
 
 
 def _fit_rcg_arrays(
@@ -387,20 +526,21 @@ def _fit_rcg_arrays(
     if impl is None:
         impl = _pick_impl(logL, mesh)
     state = _rcg_init(logL, counts, alpha, bc)
+    if impl in ("pallas", "pallas_opt_interpret"):
+        state = _fit_rcg_pallas_optimistic(
+            state, logL, counts, alpha, tol=float(tol), max_iters=max_iters,
+            verbose=verbose, chunk=chunk, mesh=mesh,
+            interpret=(impl == "pallas_opt_interpret"),
+        )
+        return state.gamma, state.it, state.bound
     it = 0
     while it < max_iters:
         n = min(chunk, max_iters - it)
-        if impl == "pallas":
-            for _ in range(n):  # async dispatches; sync only at chunk end
-                state = _rcg_step_pallas_jit(
-                    state, logL, counts, alpha, tol=float(tol), verbose=verbose, mesh=mesh
-                )
-        else:
-            state = _rcg_chunk(
-                state, logL, counts, alpha, length=n, tol=float(tol),
-                verbose=verbose, impl=impl,
-                mesh=mesh if impl == "pallas_interpret" else None,
-            )
+        state = _rcg_chunk(
+            state, logL, counts, alpha, length=n, tol=float(tol),
+            verbose=verbose, impl=impl,
+            mesh=mesh if impl == "pallas_interpret" else None,
+        )
         it += n
         if bool(state.done):
             break

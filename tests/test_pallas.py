@@ -160,3 +160,31 @@ def test_pallas_sharded_matches_single():
     np.testing.assert_allclose(
         np.exp(np.asarray(g1)), np.exp(np.asarray(g0)), rtol=0, atol=1e-4
     )
+
+
+def test_optimistic_matches_exact_fit():
+    # The optimistic host driver (always-accept chunks + event replay)
+    # must reproduce the exact cond-ful path: same iteration count, same
+    # bound, same trajectory.
+    logL, counts, alpha, bc = _problem(E=128, G=256, seed=7)
+    kw = dict(tol=1e-6, max_iters=200, verbose=False, chunk=8)
+    g_e, it_e, b_e = _fit_rcg_arrays(logL, counts, alpha, bc, impl="pallas_interpret", **kw)
+    g_o, it_o, b_o = _fit_rcg_arrays(logL, counts, alpha, bc, impl="pallas_opt_interpret", **kw)
+    assert int(it_o) == int(it_e)
+    np.testing.assert_allclose(float(b_o), float(b_e), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g_o), np.asarray(g_e), rtol=0, atol=1e-6)
+
+
+def test_optimistic_revert_replay():
+    # tol=0 can never satisfy 0 <= delta < tol, so the fit runs to the
+    # numerical floor where the bound DECREASES — exercising the revert
+    # event -> snapshot restore -> exact-tail replay machinery.  The
+    # optimistic path must still terminate identically to the exact path.
+    logL, counts, alpha, bc = _problem(E=64, G=128, seed=13)
+    kw = dict(tol=0.0, max_iters=300, verbose=False, chunk=8)
+    g_e, it_e, b_e = _fit_rcg_arrays(logL, counts, alpha, bc, impl="pallas_interpret", **kw)
+    g_o, it_o, b_o = _fit_rcg_arrays(logL, counts, alpha, bc, impl="pallas_opt_interpret", **kw)
+    assert int(it_e) < 300, "expected the exact path to hit the floor and stop"
+    assert int(it_o) == int(it_e)
+    np.testing.assert_allclose(float(b_o), float(b_e), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g_o), np.asarray(g_e), rtol=0, atol=1e-6)
