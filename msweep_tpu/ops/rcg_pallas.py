@@ -203,6 +203,15 @@ def rcg_update(logL, gamma, d, counts2d, psi, lse1, rowelbo, beta, *, interpret:
         gamma_new, d_new, colsum, elbo = pl.pallas_call(
             _update_kernel,
             grid=(E // be,),
+            # gamma' and d' overwrite gamma and d in place (block i is
+            # read before block i is written; rcg_norm's read of gamma
+            # completes before this kernel runs).  Declaring the alias
+            # lets donated state buffers thread through with ZERO copies
+            # — XLA's own donation pass was inserting full-matrix copies
+            # (~7 ms/iter at E=2^19) when left to infer reuse; when the
+            # caller still needs the old gamma (the exact step's revert
+            # cond), jax inserts the preserving copy automatically.
+            input_output_aliases={2: 0, 3: 1},
             in_specs=[
                 pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
                 _mat_spec(be, G),
