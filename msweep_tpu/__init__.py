@@ -7,9 +7,10 @@ A from-scratch reimplementation of the capabilities of PROBIC/mSWEEP
   equivalence-class collapse, grouping metadata, output formatting.
 - Device side (JAX/XLA/Pallas): dense log-likelihood matrix in HBM,
   mixture-model inference (Riemannian conjugate-gradient variational
-  Bayes, plain EM) as jitted `lax.while_loop` kernels, bootstrap
-  replicates as vmapped batches, EC-axis sharding across a device mesh
-  with psum-merged sufficient statistics.
+  Bayes, plain EM) as fused Pallas kernels dispatched from the host
+  (XLA `lax.scan` chunks on non-TPU backends), bootstrap replicates as
+  vmapped batches, EC-axis sharding across a device mesh with
+  psum-merged sufficient statistics.
 
 The reference's layer map (SURVEY.md section 1) maps here as:
 

@@ -121,13 +121,24 @@ def _setup_jax(args):
     return jax
 
 
-def _matrix_dtype(args):
+def _matrix_dtype(args, backend: str):
+    """Matrix dtype policy.
+
+    Explicit --precision always wins; --emprecision covers the reference's
+    EM knob (src/mSWEEP.cpp:129).  Otherwise: float32 on TPU — the fused
+    Pallas fast path, with f64 scalar accumulation carrying convergence
+    (see inference/rcg.py docstring; this mirrors the reference whose GPU
+    build IS the fast path, src/mSWEEP.cpp:127) — and the reference's
+    float64 elsewhere, where XLA f64 is native and bit-level parity with
+    the reference double runs matters more than speed.
+    """
     import jax.numpy as jnp
 
     if args.precision:
         return jnp.float32 if args.precision == "float" else jnp.float64
-    name = args.algorithm
-    if name == "emgpu" and args.emprecision == "float":
+    if args.algorithm == "emgpu" and args.emprecision == "float":
+        return jnp.float32
+    if backend == "tpu":
         return jnp.float32
     return jnp.float64  # reference default: double everywhere
 
@@ -206,7 +217,13 @@ def _run(args, alignment_paths: list[str], log: Log) -> int:
     out = OutfileDesignator(args.output, n_groupings, args.compress, args.compression_level)
 
     jax = _setup_jax(args)
-    dtype = _matrix_dtype(args)
+    backend = jax.default_backend()
+    dtype = _matrix_dtype(args, backend)
+    if backend == "tpu" and dtype == jax.numpy.float32 and not args.precision:
+        log(
+            "  using float32 matrices with float64 accumulation (TPU fast "
+            "path); pass --precision double for reference double precision"
+        )
 
     from .inference import (
         dirichlet_kld,
@@ -236,7 +253,7 @@ def _run(args, alignment_paths: list[str], log: Log) -> int:
             if looks_packed(buf):
                 r, t, n = parse_packed_pairs(buf, reference.n_refs)
             else:
-                r, t, n = parse_plaintext_pairs(buf)
+                r, t, n = parse_plaintext_pairs(buf, args.threads)
             strands.append((r, t))
             n_reads = n  # overwritten per strand like the reference (quirk 9.4)
         keys = merge_strands(strands, reference.n_refs, args.themisto_mode)
@@ -337,6 +354,7 @@ def _run(args, alignment_paths: list[str], log: Log) -> int:
                 tol=args.tol,
                 max_iters=args.max_iters,
                 verbose=args.verbose,
+                log=log,
             )
             jax.block_until_ready(gamma)
         t_fit = _time.time() - t_fit

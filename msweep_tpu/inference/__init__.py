@@ -31,13 +31,26 @@ __all__ = [
 ]
 
 
-def fit(problem, algorithm="rcg", *, tol=1e-6, max_iters=5000, verbose=False):
+def pick_impl(problem) -> str:
+    """The step implementation `fit` will auto-select for this problem:
+    "pallas" (fused TPU kernels) or "xla"."""
+    from .rcg import _pick_impl
+
+    return _pick_impl(problem.logL, problem.mesh)
+
+
+def fit(problem, algorithm="rcg", *, tol=1e-6, max_iters=5000, verbose=False, log=None):
     """Dispatch like the reference's rcg_optl wrapper (src/mSWEEP.cpp:176-205).
 
     Accepts reference algorithm names: rcgcpu/rcggpu -> rcg, emgpu -> em.
-    Returns (gamma, n_iters, final_objective).
+    Returns (gamma, n_iters, final_objective).  `log`, if given, receives
+    one line naming the selected step implementation.
     """
     name = {"rcgcpu": "rcg", "rcggpu": "rcg", "emgpu": "em"}.get(algorithm, algorithm)
+    if log is not None:
+        impl = pick_impl(problem)
+        shards = problem.mesh.shape["ec"] if problem.mesh is not None else 1
+        log(f"  {name} optimizer: impl={impl} dtype={problem.logL.dtype} ec_shards={shards}")
     if name == "rcg":
         return fit_rcg(problem, tol=tol, max_iters=max_iters, verbose=verbose)
     if name == "em":

@@ -447,6 +447,12 @@ def _fit_rcg_pallas_optimistic(
     cond-ful step for the remainder when a revert fired.  Per-iteration
     trajectories and iteration counts therefore match the exact path
     bit-for-bit.
+
+    Verbose diagnostics print from the HOST at the chunk-boundary sync
+    (reconstructed from the delta history) so discarded speculative
+    suffixes never print and replayed iterations print exactly once;
+    the exact-step tail after a revert prints on-device like the exact
+    path.
     """
     import numpy as np
 
@@ -463,19 +469,35 @@ def _fit_rcg_pallas_optimistic(
             stepper = _rcg_opt_step_fresh if j == 0 else _rcg_opt_step_donate
             state, hist = stepper(
                 state, hist, it0, logL, counts, alpha,
-                verbose=verbose, mesh=mesh, interpret=interpret,
+                verbose=False, mesh=mesh, interpret=interpret,
             )
-        if tol < 0:  # bench mode: no convergence, no replay
+        if tol < 0 and not verbose:  # bench mode: no convergence, no replay
             it += n
             continue
         h = np.asarray(hist)  # chunk-boundary sync
         decreased = h < 0
-        converged = (h >= 0) & (h < tol)
+        converged = (tol >= 0) & (h >= 0) & (h < tol)
         event = decreased | converged
-        if not event.any():
+        j = int(np.argmax(event)) if event.any() else n
+        if verbose:
+            # snapshot is never donated (the chunk's first step runs the
+            # fresh stepper), so its bound is still fetchable here.
+            b0 = float(np.asarray(snapshot.bound))
+            bounds = b0 + np.cumsum(h)
+            # Print accepted iterations; after a revert the whole chunk
+            # re-runs (and prints) through the exact step below, so host
+            # printing stops at the chunk start in that case.
+            if j < n and decreased[j]:
+                upto = 0
+            elif j < n:
+                upto = j + 1  # convergence event: its line is accepted
+            else:
+                upto = n
+            for k in range(upto):
+                print(f"  iter {it + k + 1}  bound {bounds[k]}  (reset=False)")
+        if tol < 0 or not event.any():
             it += n
             continue
-        j = int(np.argmax(event))
         # Restore the chunk-start state and re-run exactly.
         state = snapshot
         if converged[j] and not decreased[j]:
@@ -485,7 +507,7 @@ def _fit_rcg_pallas_optimistic(
                 stepper = _rcg_opt_step_fresh if k == 0 else _rcg_opt_step_donate
                 state, hist2 = stepper(
                     state, hist2, it0, logL, counts, alpha,
-                    verbose=verbose, mesh=mesh, interpret=interpret,
+                    verbose=False, mesh=mesh, interpret=interpret,
                 )
             return state._replace(done=jnp.ones((), bool))
         # A revert fired: finish the fit with the exact cond-ful step

@@ -27,17 +27,21 @@ def count_lines(data: bytes) -> int:
     return n
 
 
-def parse_plaintext_pairs(data: bytes) -> tuple[np.ndarray, np.ndarray, int]:
+def parse_plaintext_pairs(
+    data: bytes, n_threads: int | None = None
+) -> tuple[np.ndarray, np.ndarray, int]:
     """Parse a plaintext Themisto alignment buffer.
 
     Returns (read_ids, target_ids) as uint64 arrays (one entry per
     alignment pair, in file order) and the number of reads (= lines,
-    matching n_queries at include/mSWEEP_alignment.hpp:121).
+    matching n_queries at include/mSWEEP_alignment.hpp:121).  `n_threads`
+    caps host OpenMP parallelism in the native path (the CLI -t flag,
+    reference omp_set_num_threads at src/mSWEEP.cpp:254-256).
     """
     try:
         from ..native import parse_plaintext as _native_parse
 
-        return _native_parse(data)
+        return _native_parse(data, n_threads)
     except ImportError:
         pass
     return _parse_plaintext_pairs_numpy(data)

@@ -31,6 +31,8 @@ def _load():
     if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
         _build()
     lib = ctypes.CDLL(_SO)
+    lib.msweep_set_threads.restype = None
+    lib.msweep_set_threads.argtypes = [ctypes.c_int]
     lib.msweep_count.restype = ctypes.c_int
     lib.msweep_count.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
@@ -61,12 +63,22 @@ except Exception as _e:  # missing toolchain etc. -> numpy fallback
     raise ImportError(f"native parser unavailable: {_e}") from _e
 
 
-def parse_plaintext(data: bytes):
+def set_threads(n: int) -> None:
+    """Cap OpenMP host parallelism (the CLI -t flag; reference:
+    omp_set_num_threads at src/mSWEEP.cpp:254-256)."""
+    _lib.msweep_set_threads(int(n))
+
+
+def parse_plaintext(data: bytes, n_threads: int | None = None):
     """(read_ids, target_ids, n_reads) — see io.themisto.parse_plaintext_pairs."""
     n = len(data)
     if n == 0:
         return np.empty(0, np.uint64), np.empty(0, np.uint64), 0
-    n_chunks = min(32, max(1, os.cpu_count() or 1))
+    if n_threads and n_threads > 0:
+        set_threads(n_threads)
+        n_chunks = int(n_threads)
+    else:
+        n_chunks = min(32, max(1, os.cpu_count() or 1))
     pair_counts = np.zeros(n_chunks, dtype=np.int64)
     line_counts = np.zeros(n_chunks, dtype=np.int64)
     buf = ctypes.c_char_p(data)

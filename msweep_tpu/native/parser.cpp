@@ -89,6 +89,16 @@ std::vector<int64_t> chunk_starts(const char* buf, int64_t n, int n_chunks) {
 
 extern "C" {
 
+// Host-parallelism control: the CLI's -t flag reaches OpenMP here exactly
+// like the reference's omp_set_num_threads (src/mSWEEP.cpp:254-256).
+void msweep_set_threads(int n) {
+#ifdef _OPENMP
+    if (n > 0) omp_set_num_threads(n);
+#else
+    (void)n;
+#endif
+}
+
 // Pass 1: count pairs and lines. Returns 0 on success, -1 on parse error.
 // pair_counts/line_counts must have room for n_chunks entries.
 int msweep_count(const char* buf, int64_t n, int n_chunks,

@@ -172,13 +172,24 @@ def test_run_rate(dataset, tmp_path):
 
 
 def test_min_hits(dataset, tmp_path):
+    # Absurd threshold masks every group: the file is still written, with
+    # an explicit zero row per group (write_abundances2 semantics,
+    # src/PlainSample.cpp:48-71 re-expands masked groups as zeros).
     assert main(base_args(dataset, tmp_path, ["--min-hits", "100000"])) == 0
-    # absurd threshold: every group masked out... at least must not crash
-    # with a reasonable threshold, low-abundance groups keep zero rows
+    names, theta, _ = read_abundances(tmp_path / "215_abundances.txt")
+    assert set(names) == {"clust1", "clust2", "clust3", "clust4"}
+    assert (theta == 0).all()
+    # Threshold 30 masks only the rare clust4 (~5% of 600 reads): its row
+    # is an exact zero, the surviving groups renormalize to 1.
     assert main(base_args(dataset, tmp_path, ["--min-hits", "30"])) == 0
     names, theta, _ = read_abundances(tmp_path / "215_abundances.txt")
-    assert names[: len(names)] == sorted(names, key=lambda n: (n not in names, n)) or True
     assert len(names) == 4  # all four clusters listed (zeros appended)
+    assert theta[names.index("clust4")] == 0.0
+    kept = [t for n, t in zip(names, theta) if n != "clust4"]
+    assert all(t > 0 for t in kept)
+    assert sum(kept) == pytest.approx(1.0, abs=1e-4)
+    # estimated groups come first, masked zero rows are appended
+    assert names[:3] == ["clust1", "clust2", "clust3"]
 
 
 def test_multi_grouping(dataset, tmp_path):
@@ -294,3 +305,30 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(lik2.dense(), lik.dense())
     np.testing.assert_array_equal(lik2.ec_counts, lik.ec_counts)
     assert lik2.n_groups == lik.n_groups
+
+
+def test_dtype_and_impl_selection(monkeypatch):
+    """Pin the fast-path policy: a plain TPU run gets f32 matrices and the
+    fused Pallas impl; CPU and explicit --precision double stay f64/XLA."""
+    import jax
+    import jax.numpy as jnp
+
+    from msweep_tpu.cli import build_parser, _matrix_dtype
+    from msweep_tpu.inference.rcg import _pick_impl
+
+    p = build_parser()
+    default = p.parse_args(["-i", "x"])
+    assert _matrix_dtype(default, "tpu") == jnp.float32
+    assert _matrix_dtype(default, "cpu") == jnp.float64
+    forced = p.parse_args(["-i", "x", "--precision", "double"])
+    assert _matrix_dtype(forced, "tpu") == jnp.float64
+    em_float = p.parse_args(["-i", "x", "--algorithm", "emgpu", "--emprecision", "float"])
+    assert _matrix_dtype(em_float, "cpu") == jnp.float32
+
+    # impl choice: pallas iff TPU backend + f32 + kernel-compatible shape
+    f32 = jnp.zeros((64, 128), jnp.float32)
+    f64 = jnp.zeros((64, 128), jnp.float64)
+    assert _pick_impl(f32) == "xla"  # CPU backend in tests
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert _pick_impl(f32) == "pallas"
+    assert _pick_impl(f64) == "xla"
