@@ -71,7 +71,44 @@ def _estep(logL, theta, dtype):
     return t, lse
 
 
-def _make_step(tol: float, verbose: bool, valid, impl: str = "xla"):
+def _make_kernels(mesh, interpret: bool):
+    """Per-shard fused-kernel call with psum-merged sufficient statistics.
+
+    With a mesh, runs under shard_map over the "ec" axis: each device
+    reads only its EC shard of logL once and the G-sized colsum and the
+    scalar objective-delta merge with psum over ICI — the same
+    MPI-allreduce-shaped design as the rcg path (rcg._make_step_pallas,
+    reference docs/compilation.md:40-58; em_torch is a first-class
+    distributed algorithm at src/mSWEEP.cpp:202).
+    """
+    from ..ops import em_pallas
+
+    def kernels(logL, counts2d, lse_prev2d, logtheta):
+        lse2d, colsum, ddot = em_pallas.em_step(
+            logL, counts2d, lse_prev2d, logtheta, interpret=interpret
+        )
+        if mesh is not None:
+            colsum = jax.lax.psum(colsum, "ec")
+            ddot = jax.lax.psum(ddot, "ec")
+        return lse2d, colsum, ddot
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        sharded = P("ec", None)
+        rep = P()
+        kernels = shard_map(
+            kernels,
+            mesh=mesh,
+            in_specs=(sharded, sharded, sharded, rep),
+            out_specs=(sharded, rep, rep),
+            check_vma=False,
+        )
+    return kernels
+
+
+def _make_step(tol: float, verbose: bool, valid, impl: str = "xla", mesh=None):
     """One EM iteration with ONE pass over logL (deferred-delta scheme).
 
     The convergence delta J(theta_k) - J(theta_{k-1}) is evaluated from
@@ -81,6 +118,8 @@ def _make_step(tol: float, verbose: bool, valid, impl: str = "xla"):
     check therefore fires one iteration after the naive formulation,
     with an identical delta sequence.
     """
+    if impl != "xla":
+        kernels = _make_kernels(mesh, interpret=(impl == "pallas_interpret"))
 
     def step(st: EMState, logL, counts, alpha):
         acc = acc_dtype()
@@ -93,15 +132,9 @@ def _make_step(tol: float, verbose: bool, valid, impl: str = "xla"):
             nw = _colsum_acc(counts[:, None] * p)
             data_delta = _acc_dot(counts, lse - st.lse)
         else:  # pallas / pallas_interpret: fused single-read kernel
-            from ..ops import em_pallas
-
             logtheta = _safe_log(st.theta, acc).astype(dtype)[None, :]
-            lse2d, colsum, ddot = em_pallas.em_step(
-                logL,
-                counts[:, None],
-                st.lse[:, None].astype(dtype),
-                logtheta,
-                interpret=(impl == "pallas_interpret"),
+            lse2d, colsum, ddot = kernels(
+                logL, counts[:, None], st.lse[:, None].astype(dtype), logtheta
             )
             lse = lse2d[:, 0]
             nw = colsum.astype(acc)
@@ -164,12 +197,13 @@ def _em_init(logL, counts, alpha):
     )
 
 
-@partial(jax.jit, static_argnames=("length", "tol", "verbose", "impl"))
+@partial(jax.jit, static_argnames=("length", "tol", "verbose", "impl", "mesh"))
 def _em_chunk(
-    state, logL, counts, alpha, *, length: int, tol: float, verbose: bool, impl: str = "xla"
+    state, logL, counts, alpha, *, length: int, tol: float, verbose: bool,
+    impl: str = "xla", mesh=None,
 ):
     valid = _valid_mask(logL)
-    step = _make_step(tol, verbose, valid, impl)
+    step = _make_step(tol, verbose, valid, impl, mesh)
 
     def body(st, _):
         new = jax.lax.cond(st.done, lambda s: s, lambda s: step(s, logL, counts, alpha), st)
@@ -179,12 +213,12 @@ def _em_chunk(
     return state
 
 
-@partial(jax.jit, static_argnames=("tol", "verbose"), donate_argnums=(0,))
-def _em_step_pallas_jit(state, logL, counts, alpha, *, tol: float, verbose: bool):
+@partial(jax.jit, static_argnames=("tol", "verbose", "mesh"), donate_argnums=(0,))
+def _em_step_pallas_jit(state, logL, counts, alpha, *, tol: float, verbose: bool, mesh=None):
     """One fused-kernel EM iteration, host-dispatched (no scan — see
     rcg._rcg_step_pallas_jit for why scan-of-pallas is avoided)."""
     valid = _valid_mask(logL)
-    step = _make_step(tol, verbose, valid, "pallas")
+    step = _make_step(tol, verbose, valid, "pallas", mesh)
     return jax.lax.cond(
         state.done, lambda s: s, lambda s: step(s, logL, counts, alpha), state
     )
@@ -198,11 +232,12 @@ def _em_final(logL, state):
     return t - lse[:, None]
 
 
-def _fit_em_arrays(logL, counts, alpha, *, tol, max_iters, verbose, chunk=16, impl=None):
+def _fit_em_arrays(logL, counts, alpha, *, tol, max_iters, verbose, chunk=16, impl=None, mesh=None):
     if impl is None:
         from .rcg import _pick_impl
 
-        impl = _pick_impl(logL)
+        impl = _pick_impl(logL, mesh)
+    kernel_mesh = mesh if impl.startswith("pallas") else None
     state = _em_init(logL, counts, alpha)
     it = 0
     while it < max_iters:
@@ -210,11 +245,13 @@ def _fit_em_arrays(logL, counts, alpha, *, tol, max_iters, verbose, chunk=16, im
         if impl == "pallas":
             for _ in range(n):  # async dispatches; sync only at chunk end
                 state = _em_step_pallas_jit(
-                    state, logL, counts, alpha, tol=float(tol), verbose=verbose
+                    state, logL, counts, alpha, tol=float(tol), verbose=verbose,
+                    mesh=kernel_mesh,
                 )
         else:
             state = _em_chunk(
-                state, logL, counts, alpha, length=n, tol=float(tol), verbose=verbose, impl=impl
+                state, logL, counts, alpha, length=n, tol=float(tol), verbose=verbose,
+                impl=impl, mesh=kernel_mesh,
             )
         it += n
         if bool(state.done):
@@ -247,6 +284,7 @@ def fit_em(
         verbose=bool(verbose),
         chunk=chunk,
         impl=impl,
+        mesh=problem.mesh if impl.startswith("pallas") else None,
     )
 
 

@@ -188,3 +188,63 @@ def test_optimistic_revert_replay():
     assert int(it_o) == int(it_e)
     np.testing.assert_allclose(float(b_o), float(b_e), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(g_o), np.asarray(g_e), rtol=0, atol=1e-6)
+
+
+def test_em_pallas_sharded_matches_single():
+    # The EM fused kernel under shard_map + psum on an 8-device CPU mesh
+    # (interpret) must reproduce the unsharded pallas trajectory — the
+    # reference runs em_torch on the same distributed infrastructure as
+    # rcg (src/mSWEEP.cpp:202).
+    from msweep_tpu.inference.em import _fit_em_arrays
+    from msweep_tpu.parallel.mesh import make_ec_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    logL, counts, alpha, _ = _problem(E=256, G=256, seed=23)
+    kw = dict(tol=-1.0, max_iters=12, verbose=False)
+    g0, it0, o0 = _fit_em_arrays(logL, counts, alpha, impl="pallas_interpret", **kw)
+
+    mesh = make_ec_mesh(8)
+    logL_s = jax.device_put(logL, NamedSharding(mesh, P("ec", None)))
+    counts_s = jax.device_put(counts, NamedSharding(mesh, P("ec")))
+    alpha_s = jax.device_put(alpha, NamedSharding(mesh, P()))
+    g1, it1, o1 = _fit_em_arrays(
+        logL_s, counts_s, alpha_s, impl="pallas_interpret", mesh=mesh, **kw
+    )
+    assert int(it0) == int(it1) == 12
+    np.testing.assert_allclose(float(o0), float(o1), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.exp(np.asarray(g1)), np.exp(np.asarray(g0)), rtol=0, atol=1e-4
+    )
+
+
+def test_em_fit_mesh_dispatch():
+    # fit_em on a meshed problem must thread the mesh into the kernel
+    # wrapper (round-1 bug: the mesh was accepted then dropped, so the
+    # pallas impl ran bare pallas_call on globally-sharded arrays).
+    import msweep_tpu.inference.em as em_mod
+    from msweep_tpu.inference.em import _fit_em_arrays
+
+    logL, counts, alpha, _ = _problem(E=256, G=256, seed=29)
+    from msweep_tpu.parallel.mesh import make_ec_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_ec_mesh(8)
+    logL_s = jax.device_put(logL, NamedSharding(mesh, P("ec", None)))
+    counts_s = jax.device_put(counts, NamedSharding(mesh, P("ec")))
+    alpha_s = jax.device_put(alpha, NamedSharding(mesh, P()))
+    seen = {}
+    orig = em_mod._make_kernels
+
+    def spy(mesh_arg, interpret):
+        seen["mesh"] = mesh_arg
+        return orig(mesh_arg, interpret)
+
+    em_mod._make_kernels, saved = spy, orig
+    try:
+        _fit_em_arrays(
+            logL_s, counts_s, alpha_s, tol=-1.0, max_iters=2, verbose=False,
+            impl="pallas_interpret", mesh=mesh,
+        )
+    finally:
+        em_mod._make_kernels = saved
+    assert seen["mesh"] is mesh
