@@ -287,8 +287,9 @@ def _run(args, alignment_paths: list[str], log: Log) -> int:
             sample = make_sample(lik.ec_counts, int(lik.ec_counts.sum()))
         elif args.read_likelihood:
             log("  reading likelihoods from file")
-            text = read_input_bytes(args.read_likelihood).decode()
-            lik = read_likelihood_msweep(text, grouping.n_groups)
+            lik = read_likelihood_msweep(
+                read_input_bytes(args.read_likelihood), grouping.n_groups
+            )
             sample = make_sample(lik.ec_counts, int(lik.ec_counts.sum()))
         else:
             log("Computing the likelihood matrix")

@@ -176,19 +176,45 @@ def build_likelihood(
 # SURVEY.md section 7): rows `count \t ll_g1 ... ll_gG` per EC.
 # ---------------------------------------------------------------------------
 
+def _format_rows(block: np.ndarray, lead: np.ndarray) -> str:
+    """'lead \\t %.6g x G' rows, native formatter when available."""
+    try:
+        from ..native import format_block
+
+        return format_block(block, lead=lead).decode("ascii")
+    except ImportError:
+        import io
+
+        buf = io.StringIO()
+        np.savetxt(
+            buf,
+            np.column_stack([lead.astype(np.float64), block]),
+            fmt=["%d"] + ["%.6g"] * block.shape[1],
+            delimiter="\t",
+        )
+        return buf.getvalue()
+
+
 def write_likelihood_msweep(lik: Likelihood, stream, chunk: int = 65536) -> None:
     """--write-likelihood TSV (include/Likelihood.hpp:255-273)."""
     counts = lik.ec_counts
     for lo in range(0, lik.n_ecs, chunk):
         hi = min(lo + chunk, lik.n_ecs)
         block = _dense_rows(lik, lo, hi)
-        lines = []
-        for i in range(hi - lo):
-            row = block[i]
-            lines.append(
-                str(int(counts[lo + i])) + "\t" + "\t".join(_fmt6(v) for v in row)
-            )
-        stream.write("\n".join(lines) + "\n")
+        stream.write(_format_rows(block, counts[lo:hi]))
+
+
+def _format_pair_bodies(block: np.ndarray) -> list[str]:
+    """Per-row '1 v1 2 v2 ...' BitSeq alignment bodies."""
+    try:
+        from ..native import format_block
+
+        text = format_block(block, pair_mode=True).decode("ascii")
+        return text.splitlines()
+    except ImportError:
+        return [
+            " ".join(f"{j + 1} {_fmt6(v)}" for j, v in enumerate(row)) for row in block
+        ]
 
 
 def write_likelihood_bitseq(lik: Likelihood, stream, chunk: int = 65536) -> None:
@@ -202,15 +228,18 @@ def write_likelihood_bitseq(lik: Likelihood, stream, chunk: int = 65536) -> None
     stream.write("# LOGFORMAT (probabilities saved on log scale.)\n")
     stream.write("# r_name num_alignments (tr_id prob )^*{num_alignments}\n")
     read_id = 1
+    tail = f" {G + 1} "  # num_alignments column (G real + 1 noise)
     for lo in range(0, lik.n_ecs, chunk):
         hi = min(lo + chunk, lik.n_ecs)
         block = _dense_rows(lik, lo, hi)
-        out = []
-        for i in range(hi - lo):
-            body = " ".join(f"{j + 1} {_fmt6(v)}" for j, v in enumerate(block[i]))
-            for _ in range(int(lik.ec_counts[lo + i])):
-                out.append(f"{read_id} {G + 1} {body} 0 -10000.00")
-                read_id += 1
+        bodies = _format_pair_bodies(block)
+        # EC e repeats count_e times (the reference materializes one line
+        # per READ); the body is formatted once per EC, not per read.
+        rep = np.repeat(np.arange(hi - lo), lik.ec_counts[lo:hi])
+        out = [
+            f"{read_id + i}{tail}{bodies[e]} 0 -10000.00" for i, e in enumerate(rep)
+        ]
+        read_id += len(rep)
         stream.write("\n".join(out) + "\n")
 
 
@@ -229,21 +258,33 @@ def _fmt6(v: float) -> str:
     return f"{v:.6g}"
 
 
-def read_likelihood_msweep(text: str, n_groups: int) -> Likelihood:
-    """--read-likelihood parser (include/Likelihood.hpp:224-253)."""
-    rows = text.splitlines()
-    counts = np.empty(len(rows), dtype=np.int64)
-    dense = np.empty((len(rows), n_groups), dtype=np.float64)
-    for i, row in enumerate(rows):
-        parts = row.split("\t")
-        if len(parts) != n_groups + 1:
+def read_likelihood_msweep(text: str | bytes, n_groups: int) -> Likelihood:
+    """--read-likelihood parser (include/Likelihood.hpp:224-253).
+
+    Native strtod bulk parser when available (OpenMP row chunks); numpy
+    loadtxt (C tokenizer) otherwise — both stream-free bulk paths, since
+    the reference-scale file is multi-GB (SURVEY.md section 8).
+    """
+    buf = text.encode() if isinstance(text, str) else text
+    try:
+        from ..native import parse_ll
+
+        counts, dense = parse_ll(buf, n_groups)
+    except ImportError:
+        import io
+
+        arr = np.loadtxt(
+            io.BytesIO(buf), delimiter="\t", dtype=np.float64, ndmin=2
+        )
+        if arr.size and arr.shape[1] != n_groups + 1:
             raise ValueError(
-                f"likelihood file row {i} has {len(parts) - 1} groups, expected {n_groups}"
+                f"likelihood file rows have {arr.shape[1] - 1} groups, "
+                f"expected {n_groups}"
             )
-        counts[i] = int(parts[0])
-        dense[i] = [float(p) for p in parts[1:]]
+        counts = arr[:, 0].astype(np.int64)
+        dense = np.ascontiguousarray(arr[:, 1:])
     return Likelihood(
-        n_ecs=len(rows),
+        n_ecs=len(counts),
         n_groups_total=n_groups,
         groups_mask=np.ones(n_groups, dtype=bool),
         group_sizes=np.zeros(n_groups, dtype=np.int64),

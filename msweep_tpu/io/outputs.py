@@ -164,11 +164,27 @@ def write_probs(
     for lo in range(0, E, chunk):
         hi = min(lo + chunk, E)
         block = np.exp(gamma[lo:hi])
-        lines = []
-        for i in range(hi - lo):
-            vals = [fmt(v) for v in block[i]] + ["0"] * n_zero
-            lines.append(str(lo + i) + "\t" + "\t".join(vals))
-        stream.write("\n".join(lines) + "\n")
+        ids = np.arange(lo, hi, dtype=np.int64)
+        try:
+            from ..native import format_block
+
+            stream.write(
+                format_block(block, lead=ids, n_zero_cols=n_zero).decode("ascii")
+            )
+        except ImportError:
+            import io as _io
+
+            buf = _io.StringIO()
+            padded = np.column_stack(
+                [ids.astype(np.float64), block, np.zeros((hi - lo, n_zero))]
+            )
+            np.savetxt(
+                buf,
+                padded,
+                fmt=["%d"] + ["%.6g"] * (block.shape[1] + n_zero),
+                delimiter="\t",
+            )
+            stream.write(buf.getvalue())
     stream.write("\n")
     stream.flush()
 

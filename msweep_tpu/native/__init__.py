@@ -13,7 +13,7 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "_msweep_native.so")
-_SRC = os.path.join(_DIR, "parser.cpp")
+_SRCS = [os.path.join(_DIR, "parser.cpp"), os.path.join(_DIR, "textio.cpp")]
 
 
 def _build() -> None:
@@ -21,14 +21,16 @@ def _build() -> None:
 
     cmd = [
         "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-        "-std=c++17", _SRC, "-o", _SO + ".tmp",
+        "-std=c++17", *_SRCS, "-o", _SO + ".tmp",
     ]
     subprocess.run(cmd, check=True, capture_output=True)
     os.replace(_SO + ".tmp", _SO)
 
 
 def _load():
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < max(
+        os.path.getmtime(s) for s in _SRCS
+    ):
         _build()
     lib = ctypes.CDLL(_SO)
     lib.msweep_set_threads.restype = None
@@ -53,6 +55,16 @@ def _load():
     lib.msweep_hash_runs.restype = ctypes.c_int64
     lib.msweep_hash_runs.argtypes = [
         u64p, ctypes.c_int64, ctypes.c_uint64, u64p, i64p, i64p, u64p,
+    ]
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.msweep_format_block.restype = ctypes.c_int64
+    lib.msweep_format_block.argtypes = [
+        f64p, ctypes.c_int64, ctypes.c_int64, i64p, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_char_p, ctypes.c_int64,
+    ]
+    lib.msweep_parse_ll.restype = ctypes.c_int64
+    lib.msweep_parse_ll.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, i64p, f64p, ctypes.c_int64,
     ]
     return lib
 
@@ -129,6 +141,51 @@ def union_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     out = np.empty(len(a) + len(b), dtype=np.uint64)
     k = _lib.msweep_union(_u64p(a), len(a), _u64p(b), len(b), _u64p(out))
     return out[:k]
+
+
+def format_block(
+    mat: np.ndarray,
+    lead: np.ndarray | None = None,
+    n_zero_cols: int = 0,
+    pair_mode: bool = False,
+) -> bytes:
+    """Format a (R, C) f64 block as '%.6g' text rows (see textio.cpp)."""
+    mat = np.ascontiguousarray(mat, np.float64)
+    R, C = mat.shape
+    lead_p = None
+    if lead is not None:
+        lead = np.ascontiguousarray(lead, np.int64)
+        lead_p = _i64p(lead)
+    per_val = 26 if pair_mode else 14
+    cap = R * (22 + C * per_val + n_zero_cols * 2 + 2) + 16
+    out = ctypes.create_string_buffer(cap)
+    n = _lib.msweep_format_block(
+        mat.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), R, C,
+        lead_p, n_zero_cols, 1 if pair_mode else 0, out, cap,
+    )
+    if n < 0:
+        raise MemoryError("native format_block overflow")
+    return out.raw[:n]
+
+
+def parse_ll(buf: bytes, n_cols: int) -> tuple[np.ndarray, np.ndarray]:
+    """Parse 'count \\t f x n_cols' TSV rows -> (counts i64, dense (R, C) f64)."""
+    n_rows_max = buf.count(b"\n") + (0 if buf.endswith(b"\n") or not buf else 1)
+    counts = np.empty(max(n_rows_max, 1), dtype=np.int64)
+    dense = np.empty((max(n_rows_max, 1), n_cols), dtype=np.float64)
+    r = _lib.msweep_parse_ll(
+        ctypes.c_char_p(buf), len(buf), n_cols,
+        _i64p(counts), dense.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n_rows_max,
+    )
+    if r == -(2**63):
+        raise MemoryError("native parse_ll internal failure")
+    if r < 0:
+        row = -int(r) - 1
+        raise ValueError(
+            f"likelihood file row {row} does not have {n_cols} group columns"
+        )
+    return counts[:r], dense[:r]
 
 
 def hash_runs(keys: np.ndarray, shift: int):
