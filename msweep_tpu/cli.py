@@ -106,6 +106,14 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--write-checkpoint", help="(extension) save the built likelihood problem as a full-precision npz checkpoint.")
     x.add_argument("--read-checkpoint", help="(extension) resume from an npz checkpoint, skipping alignment ingestion and likelihood build.")
     x.add_argument("--trace-dir", help="(extension) write a jax.profiler trace of the estimation to this directory (view with tensorboard/xprof).")
+    d = p.add_argument_group(
+        "Distributed options (extension; multi-host analog of the "
+        "reference's MPI build, docs/compilation.md:40-58 — estimation is "
+        "sharded across processes, process 0 does all I/O)"
+    )
+    d.add_argument("--distributed-coordinator", help="coordinator address host:port shared by all processes.")
+    d.add_argument("--distributed-nprocs", type=int, help="total number of processes in the job.")
+    d.add_argument("--distributed-process-id", type=int, help="this process's id (0-based; 0 = root).")
     return p
 
 
@@ -118,6 +126,19 @@ def _setup_jax(args):
         jax.config.update("jax_platforms", args.backend)
     # f64 matrices need x64; enable it whenever any double path is possible.
     jax.config.update("jax_enable_x64", True)
+    if args.distributed_coordinator:
+        if args.distributed_nprocs is None or args.distributed_process_id is None:
+            raise RuntimeError(
+                "--distributed-coordinator requires --distributed-nprocs "
+                "and --distributed-process-id"
+            )
+        from .parallel.mesh import init_distributed
+
+        init_distributed(
+            args.distributed_coordinator,
+            num_processes=args.distributed_nprocs,
+            process_id=args.distributed_process_id,
+        )
     return jax
 
 
@@ -214,9 +235,13 @@ def _run(args, alignment_paths: list[str], log: Log) -> int:
         log(f"  read {n_groupings} groupings")
     log(f"  read {reference.n_refs} group indicators")
 
-    out = OutfileDesignator(args.output, n_groupings, args.compress, args.compression_level)
-
     jax = _setup_jax(args)
+    is_root = jax.process_index() == 0
+    if not is_root:
+        log.verbose = False  # root-only logging (reference include/log.hpp:41-46)
+    out = OutfileDesignator(
+        args.output, n_groupings, args.compress, args.compression_level, root=is_root
+    )
     backend = jax.default_backend()
     dtype = _matrix_dtype(args, backend)
     if backend == "tpu" and dtype == jax.numpy.float32 and not args.precision:
@@ -234,7 +259,7 @@ def _run(args, alignment_paths: list[str], log: Log) -> int:
     )
     from .inference.rcg import fit_rcg_batch
     from .inference.em import fit_em_batch
-    from .parallel.mesh import make_ec_mesh
+    from .parallel.mesh import make_ec_mesh, to_host
 
     bootstrap_mode = args.iters > 0
     bin_reads_mode = args.bin_reads
@@ -374,9 +399,9 @@ def _run(args, alignment_paths: list[str], log: Log) -> int:
                 file=sys.stderr,
             )
             log_klds = dirichlet_kld(gamma, problem.counts)
-            sample.log_klds = np.asarray(log_klds)[: problem.n_groups]
+            sample.log_klds = to_host(log_klds)[: problem.n_groups]
             rates = rates_from_log_kld(log_klds, problem.group_mask())
-            sample.rates = np.asarray(rates)[: problem.n_groups]
+            sample.rates = to_host(rates)[: problem.n_groups]
 
         if args.min_hits > 0:
             print(
@@ -385,8 +410,8 @@ def _run(args, alignment_paths: list[str], log: Log) -> int:
                 file=sys.stderr,
             )
 
-        theta = np.asarray(mixture_components(gamma, problem.counts, problem.n_groups))
-        gamma_host = np.asarray(gamma)[: problem.n_ecs, : problem.n_groups]
+        theta = to_host(mixture_components(gamma, problem.counts, problem.n_groups))
+        gamma_host = to_host(gamma)[: problem.n_ecs, : problem.n_groups]
         sample.gamma = gamma_host
         sample.abundances = theta
 
@@ -408,7 +433,7 @@ def _run(args, alignment_paths: list[str], log: Log) -> int:
                 write_bin(stream, bins[name])
                 stream.close()
 
-        if args.print_probs:
+        if args.print_probs and out.root:
             write_probs(sys.stdout, estimated_names, gamma_host, zero_names)
         if args.write_probs:
             stream = out.probs()
@@ -419,6 +444,11 @@ def _run(args, alignment_paths: list[str], log: Log) -> int:
         # sharing one likelihood matrix (replaces the reference's serial
         # refit loop at src/mSWEEP.cpp:496-518).
         if bootstrap_mode:
+            if jax.process_count() > 1:
+                raise RuntimeError(
+                    "--iters (bootstrap) is not supported in multi-process "
+                    "distributed runs yet; run the bootstrap single-process"
+                )
             log(f"Running estimation with {args.iters} bootstrap iterations")
             resampler = BootstrapResampler(
                 lik.ec_counts, bootstrap_count=args.bootstrap_count, seed=args.seed

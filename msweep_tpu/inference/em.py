@@ -26,6 +26,7 @@ the matrix exactly once per iteration.
 
 from __future__ import annotations
 
+import sys
 from functools import partial
 from typing import NamedTuple
 
@@ -108,7 +109,7 @@ def _make_kernels(mesh, interpret: bool):
     return kernels
 
 
-def _make_step(tol: float, verbose: bool, valid, impl: str = "xla", mesh=None):
+def _make_step(tol: float, valid, impl: str = "xla", mesh=None):
     """One EM iteration with ONE pass over logL (deferred-delta scheme).
 
     The convergence delta J(theta_k) - J(theta_{k-1}) is evaluated from
@@ -155,8 +156,6 @@ def _make_step(tol: float, verbose: bool, valid, impl: str = "xla", mesh=None):
             done = jnp.zeros((), bool)
         else:
             done = ~first & (jnp.abs(delta) < tol)
-        if verbose:
-            jax.debug.print("  iter {i}  objective {o}", i=st.it + 1, o=obj_new)
         return EMState(
             theta=theta_new,
             lse=lse,
@@ -168,6 +167,17 @@ def _make_step(tol: float, verbose: bool, valid, impl: str = "xla", mesh=None):
         )
 
     return step
+
+
+def _print_chunk_history(it0: int, hist) -> None:
+    """Host-side per-iteration diagnostics (see rcg._print_chunk_history)."""
+    import numpy as np
+
+    active, objs = (np.asarray(h) for h in hist)
+    for k in range(len(active)):
+        if not active[k]:
+            break
+        print(f"  iter {it0 + k + 1}  objective {objs[k]}", file=sys.stderr)
 
 
 def _valid_mask(logL):
@@ -197,28 +207,30 @@ def _em_init(logL, counts, alpha):
     )
 
 
-@partial(jax.jit, static_argnames=("length", "tol", "verbose", "impl", "mesh"))
+@partial(jax.jit, static_argnames=("length", "tol", "impl", "mesh"))
 def _em_chunk(
-    state, logL, counts, alpha, *, length: int, tol: float, verbose: bool,
+    state, logL, counts, alpha, *, length: int, tol: float,
     impl: str = "xla", mesh=None,
 ):
+    """Returns (state, history); history = (active, objective) per step,
+    used for host-side verbose printing (see rcg._rcg_chunk)."""
     valid = _valid_mask(logL)
-    step = _make_step(tol, verbose, valid, impl, mesh)
+    step = _make_step(tol, valid, impl, mesh)
 
     def body(st, _):
         new = jax.lax.cond(st.done, lambda s: s, lambda s: step(s, logL, counts, alpha), st)
-        return new, None
+        return new, (~st.done, new.objective)
 
-    state, _ = jax.lax.scan(body, state, None, length=length)
-    return state
+    state, hist = jax.lax.scan(body, state, None, length=length)
+    return state, hist
 
 
-@partial(jax.jit, static_argnames=("tol", "verbose", "mesh"), donate_argnums=(0,))
-def _em_step_pallas_jit(state, logL, counts, alpha, *, tol: float, verbose: bool, mesh=None):
+@partial(jax.jit, static_argnames=("tol", "mesh"), donate_argnums=(0,))
+def _em_step_pallas_jit(state, logL, counts, alpha, *, tol: float, mesh=None):
     """One fused-kernel EM iteration, host-dispatched (no scan — see
     rcg._rcg_step_pallas_jit for why scan-of-pallas is avoided)."""
     valid = _valid_mask(logL)
-    step = _make_step(tol, verbose, valid, "pallas", mesh)
+    step = _make_step(tol, valid, "pallas", mesh)
     return jax.lax.cond(
         state.done, lambda s: s, lambda s: step(s, logL, counts, alpha), state
     )
@@ -244,15 +256,22 @@ def _fit_em_arrays(logL, counts, alpha, *, tol, max_iters, verbose, chunk=16, im
         n = min(chunk, max_iters - it)
         if impl == "pallas":
             for _ in range(n):  # async dispatches; sync only at chunk end
+                was_done = bool(state.done) if verbose else False
                 state = _em_step_pallas_jit(
-                    state, logL, counts, alpha, tol=float(tol), verbose=verbose,
-                    mesh=kernel_mesh,
+                    state, logL, counts, alpha, tol=float(tol), mesh=kernel_mesh,
                 )
+                if verbose and not was_done:
+                    print(
+                        f"  iter {int(state.it)}  objective {float(state.objective)}",
+                        file=sys.stderr,
+                    )
         else:
-            state = _em_chunk(
-                state, logL, counts, alpha, length=n, tol=float(tol), verbose=verbose,
+            state, hist = _em_chunk(
+                state, logL, counts, alpha, length=n, tol=float(tol),
                 impl=impl, mesh=kernel_mesh,
             )
+            if verbose:
+                _print_chunk_history(it, hist)
         it += n
         if bool(state.done):
             break
@@ -296,8 +315,8 @@ def fit_em_batch(problem: DeviceProblem, counts_batch, *, tol=1e-6, max_iters=50
         n = min(chunk, max_iters - it)
         state = jax.vmap(
             lambda st, c: _em_chunk(
-                st, problem.logL, c, problem.alpha, length=n, tol=float(tol), verbose=False
-            )
+                st, problem.logL, c, problem.alpha, length=n, tol=float(tol)
+            )[0]
         )(state, counts_batch)
         it += n
         if bool(jnp.all(state.done)):

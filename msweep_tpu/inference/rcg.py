@@ -68,6 +68,7 @@ is inert.  tol < 0 is bench mode: run exactly max_iters iterations.
 
 from __future__ import annotations
 
+import sys
 from functools import partial
 from typing import NamedTuple
 
@@ -119,7 +120,7 @@ def _weighted_colsum(w_phi):
     return _colsum_acc(w_phi)
 
 
-def _make_step(tol: float, verbose: bool):
+def _make_step(tol: float):
     def step(st: RCGState, logL, counts, alpha):
         acc = acc_dtype()
         dtype = logL.dtype
@@ -151,13 +152,13 @@ def _make_step(tol: float, verbose: bool):
         bound_new = st.bound + delta
 
         return _step_epilogue(
-            st, tol, verbose, gamma_new, d_new, n_new, newnorm, delta, bound_new
+            st, tol, gamma_new, d_new, n_new, newnorm, delta, bound_new
         )
 
     return step
 
 
-def _step_epilogue(st, tol, verbose, gamma_new, d_new, n_new, newnorm, delta, bound_new):
+def _step_epilogue(st, tol, gamma_new, d_new, n_new, newnorm, delta, bound_new):
     """Accept/revert + convergence bookkeeping shared by both step impls.
 
     The revert (bound decreased -> undo step, reset momentum) is a rare
@@ -189,14 +190,6 @@ def _step_epilogue(st, tol, verbose, gamma_new, d_new, n_new, newnorm, delta, bo
         lambda: (gamma_new, d_new, n_new, newnorm, bound_new, delta),
     )
 
-    if verbose:
-        jax.debug.print(
-            "  iter {i}  bound {b}  (reset={r})",
-            i=st.it + 1,
-            b=bound_new,
-            r=decreased,
-        )
-
     return RCGState(
         gamma=gamma_out,
         d=d_out,
@@ -210,7 +203,7 @@ def _step_epilogue(st, tol, verbose, gamma_new, d_new, n_new, newnorm, delta, bo
     )
 
 
-def _step_epilogue_optimistic(st, verbose, gamma_new, d_new, n_new, newnorm, delta, bound_new):
+def _step_epilogue_optimistic(st, gamma_new, d_new, n_new, newnorm, delta, bound_new):
     """Always-accept epilogue: no revert/convergence cond on the big buffers.
 
     The accept/revert lax.cond in _step_epilogue costs ~4 extra (E, G)
@@ -220,10 +213,10 @@ def _step_epilogue_optimistic(st, verbose, gamma_new, d_new, n_new, newnorm, del
     accepts; the HOST detects events from the per-iteration delta
     history at chunk boundaries and replays the chunk exactly when one
     fired (see _fit_rcg_pallas_optimistic) — per-iteration semantics are
-    preserved, the hot path never pays for the cond.
+    preserved, the hot path never pays for the cond.  Verbose diagnostics
+    print from the host at the chunk-boundary sync (no jax.debug.print:
+    host callbacks are unsupported on remote-dispatch TPU backends).
     """
-    if verbose:
-        jax.debug.print("  iter {i}  bound {b}", i=st.it + 1, b=bound_new)
     return RCGState(
         gamma=gamma_new,
         d=d_new,
@@ -237,7 +230,7 @@ def _step_epilogue_optimistic(st, verbose, gamma_new, d_new, n_new, newnorm, del
     )
 
 
-def _make_step_pallas(tol: float, verbose: bool, interpret: bool, mesh=None, optimistic: bool = False):
+def _make_step_pallas(tol: float, interpret: bool, mesh=None, optimistic: bool = False):
     """Step built on the fused Pallas kernels (ops/rcg_pallas.py).
 
     Identical math to _make_step: two fused passes over the (E, G)
@@ -307,10 +300,10 @@ def _make_step_pallas(tol: float, verbose: bool, interpret: bool, mesh=None, opt
 
         if optimistic:
             return _step_epilogue_optimistic(
-                st, verbose, gamma_new, d_new, n_new, newnorm, delta, bound_new
+                st, gamma_new, d_new, n_new, newnorm, delta, bound_new
             )
         return _step_epilogue(
-            st, tol, verbose, gamma_new, d_new, n_new, newnorm, delta, bound_new
+            st, tol, gamma_new, d_new, n_new, newnorm, delta, bound_new
         )
 
     return step
@@ -369,26 +362,34 @@ def _guarded_step(step, st, logL, counts, alpha):
     )
 
 
-@partial(jax.jit, static_argnames=("length", "tol", "verbose", "impl", "mesh"))
+@partial(jax.jit, static_argnames=("length", "tol", "impl", "mesh"))
 def _rcg_chunk(
-    state, logL, counts, alpha, *, length: int, tol: float, verbose: bool,
+    state, logL, counts, alpha, *, length: int, tol: float,
     impl: str = "xla", mesh=None,
 ):
-    """length iterations as one on-device lax.scan (XLA step impl)."""
+    """length iterations as one on-device lax.scan (XLA step impl).
+
+    Returns (state, history) where history = (active, bound, reset) per
+    scan step — tiny (length,) vectors the host uses for verbose
+    diagnostics (jax.debug.print would need host callbacks, which
+    remote-dispatch TPU backends do not support).  Frozen (converged)
+    steps have active=False.
+    """
     if impl == "pallas_interpret":  # CPU correctness testing of the kernels
-        step = _make_step_pallas(tol, verbose, interpret=True, mesh=mesh)
+        step = _make_step_pallas(tol, interpret=True, mesh=mesh)
     else:
-        step = _make_step(tol, verbose)
+        step = _make_step(tol)
 
     def body(st, _):
-        return _guarded_step(step, st, logL, counts, alpha), None
+        new = _guarded_step(step, st, logL, counts, alpha)
+        return new, (~st.done, new.bound, new.just_reset)
 
-    state, _ = jax.lax.scan(body, state, None, length=length)
-    return state
+    state, hist = jax.lax.scan(body, state, None, length=length)
+    return state, hist
 
 
-@partial(jax.jit, static_argnames=("tol", "verbose", "mesh"), donate_argnums=(0,))
-def _rcg_step_pallas_jit(state, logL, counts, alpha, *, tol: float, verbose: bool, mesh=None):
+@partial(jax.jit, static_argnames=("tol", "mesh"), donate_argnums=(0,))
+def _rcg_step_pallas_jit(state, logL, counts, alpha, *, tol: float, mesh=None):
     """One fused-kernel iteration, dispatched from the host.
 
     The Pallas path deliberately does NOT wrap its step in lax.scan:
@@ -401,13 +402,13 @@ def _rcg_step_pallas_jit(state, logL, counts, alpha, *, tol: float, verbose: boo
     This exact (cond-ful) variant is the REPLAY step of the optimistic
     scheme; the hot path is _rcg_opt_step_*.
     """
-    step = _make_step_pallas(tol, verbose, interpret=False, mesh=mesh)
+    step = _make_step_pallas(tol, interpret=False, mesh=mesh)
     return _guarded_step(step, state, logL, counts, alpha)
 
 
-def _opt_step(state, hist, it0, logL, counts, alpha, *, verbose, mesh, interpret):
+def _opt_step(state, hist, it0, logL, counts, alpha, *, mesh, interpret):
     step = _make_step_pallas(
-        tol=-1.0, verbose=verbose, interpret=interpret, mesh=mesh, optimistic=True
+        tol=-1.0, interpret=interpret, mesh=mesh, optimistic=True
     )
     new = step(state, logL, counts, alpha)
     hist = jax.lax.dynamic_update_slice(hist, new.delta[None], (state.it - it0,))
@@ -419,10 +420,10 @@ def _opt_step(state, hist, it0, logL, counts, alpha, *, verbose, mesh, interpret
 # snapshot the replay path restores from (donation only recycles buffers,
 # so skipping it costs nothing extra).
 _rcg_opt_step_donate = partial(
-    jax.jit, static_argnames=("verbose", "mesh", "interpret"), donate_argnums=(0, 1)
+    jax.jit, static_argnames=("mesh", "interpret"), donate_argnums=(0, 1)
 )(_opt_step)
 _rcg_opt_step_fresh = partial(
-    jax.jit, static_argnames=("verbose", "mesh", "interpret")
+    jax.jit, static_argnames=("mesh", "interpret")
 )(_opt_step)
 
 
@@ -451,8 +452,9 @@ def _fit_rcg_pallas_optimistic(
     Verbose diagnostics print from the HOST at the chunk-boundary sync
     (reconstructed from the delta history) so discarded speculative
     suffixes never print and replayed iterations print exactly once;
-    the exact-step tail after a revert prints on-device like the exact
-    path.
+    the exact-step tail after a revert also prints host-side, per
+    dispatch (jax.debug.print needs host callbacks, which
+    remote-dispatch TPU backends like axon do not support).
     """
     import numpy as np
 
@@ -469,7 +471,7 @@ def _fit_rcg_pallas_optimistic(
             stepper = _rcg_opt_step_fresh if j == 0 else _rcg_opt_step_donate
             state, hist = stepper(
                 state, hist, it0, logL, counts, alpha,
-                verbose=False, mesh=mesh, interpret=interpret,
+                mesh=mesh, interpret=interpret,
             )
         if tol < 0 and not verbose:  # bench mode: no convergence, no replay
             it += n
@@ -494,7 +496,10 @@ def _fit_rcg_pallas_optimistic(
             else:
                 upto = n
             for k in range(upto):
-                print(f"  iter {it + k + 1}  bound {bounds[k]}  (reset=False)")
+                print(
+                    f"  iter {it + k + 1}  bound {bounds[k]}  (reset=False)",
+                    file=sys.stderr,
+                )
         if tol < 0 or not event.any():
             it += n
             continue
@@ -507,7 +512,7 @@ def _fit_rcg_pallas_optimistic(
                 stepper = _rcg_opt_step_fresh if k == 0 else _rcg_opt_step_donate
                 state, hist2 = stepper(
                     state, hist2, it0, logL, counts, alpha,
-                    verbose=False, mesh=mesh, interpret=interpret,
+                    mesh=mesh, interpret=interpret,
                 )
             return state._replace(done=jnp.ones((), bool))
         # A revert fired: finish the fit with the exact cond-ful step
@@ -515,15 +520,21 @@ def _fit_rcg_pallas_optimistic(
         while it < max_iters:
             m = min(chunk, max_iters - it)
             for _ in range(m):
+                was_done = bool(state.done) if verbose else False
                 if interpret:
-                    state = _rcg_chunk(
+                    state, _ = _rcg_chunk(
                         state, logL, counts, alpha, length=1, tol=float(tol),
-                        verbose=verbose, impl="pallas_interpret", mesh=mesh,
+                        impl="pallas_interpret", mesh=mesh,
                     )
                 else:
                     state = _rcg_step_pallas_jit(
-                        state, logL, counts, alpha, tol=float(tol),
-                        verbose=verbose, mesh=mesh,
+                        state, logL, counts, alpha, tol=float(tol), mesh=mesh,
+                    )
+                if verbose and not was_done:
+                    print(
+                        f"  iter {int(state.it)}  bound "
+                        f"{float(state.bound)}  (reset={bool(state.just_reset)})",
+                        file=sys.stderr,
                     )
             it += m
             if bool(state.done):
@@ -558,15 +569,32 @@ def _fit_rcg_arrays(
     it = 0
     while it < max_iters:
         n = min(chunk, max_iters - it)
-        state = _rcg_chunk(
+        state, hist = _rcg_chunk(
             state, logL, counts, alpha, length=n, tol=float(tol),
-            verbose=verbose, impl=impl,
+            impl=impl,
             mesh=mesh if impl == "pallas_interpret" else None,
         )
+        if verbose:
+            _print_chunk_history(it, hist)
         it += n
         if bool(state.done):
             break
     return state.gamma, state.it, state.bound
+
+
+def _print_chunk_history(it0: int, hist) -> None:
+    """Host-side per-iteration diagnostics from a chunk's history
+    (active steps form a prefix: convergence freezes the scan state)."""
+    import numpy as np
+
+    active, bounds, resets = (np.asarray(h) for h in hist)
+    for k in range(len(active)):
+        if not active[k]:
+            break
+        print(
+            f"  iter {it0 + k + 1}  bound {bounds[k]}  (reset={bool(resets[k])})",
+            file=sys.stderr,
+        )
 
 
 def fit_rcg(
@@ -626,8 +654,8 @@ def fit_rcg_batch(
         n = min(chunk, max_iters - it)
         state = jax.vmap(
             lambda st, c: _rcg_chunk(
-                st, problem.logL, c, problem.alpha, length=n, tol=float(tol), verbose=False
-            )
+                st, problem.logL, c, problem.alpha, length=n, tol=float(tol)
+            )[0]
         )(state, counts_batch)
         it += n
         if bool(jnp.all(state.done)):

@@ -35,23 +35,43 @@ def fmt(v: float) -> str:
 class OutfileDesignator:
     """Consistent output naming (src/OutfileDesignator.cpp)."""
 
-    def __init__(self, prefix: str, n_groupings: int, compress: str = "plaintext", level: int = 6):
+    def __init__(
+        self,
+        prefix: str,
+        n_groupings: int,
+        compress: str = "plaintext",
+        level: int = 6,
+        root: bool = True,
+    ):
         self.printing = prefix == ""
         self.prefix = prefix
         self.n_groupings = n_groupings
         self.compress = compress
         self.level = level
         self.current_grouping = 0
+        # In multi-process (jax.distributed) runs only process 0 writes,
+        # mirroring the reference's MPI-era root-only I/O
+        # (/root/reference/docs/compilation.md:56-58).
+        self.root = root
         if compress not in ("plaintext", "z", "bz2", "lzma", "zstd"):
             raise ValueError(f"unsupported compression type {compress}")
         if n_groupings > 1:
             self.prefix += "_0"
 
+    def _devnull(self):
+        import os
+
+        return open(os.devnull, "w")
+
     def _open(self, path: str):
+        if not self.root:
+            return self._devnull()
         stream, _ = open_output(path, self.compress, self.level)
         return stream
 
     def abundances(self):
+        if not self.root:
+            return self._devnull()
         if self.printing:
             return sys.stdout
         # never compressed (src/OutfileDesignator.cpp:104-107)

@@ -45,3 +45,21 @@ def init_distributed(coordinator: str | None = None, num_processes: int | None =
         )
     jax.distributed.initialize(**kwargs)
     return jax.process_index(), jax.process_count()
+
+
+def to_host(arr) -> np.ndarray:
+    """Bring a device array to host numpy, gathering across processes.
+
+    Single-process (and fully-replicated multi-process) arrays convert
+    directly; EC-sharded arrays in multi-process runs are all-gathered so
+    the root process can do the reference's root-only output I/O
+    (docs/compilation.md:56-58 in the reference)."""
+    import jax
+
+    if isinstance(arr, np.ndarray):
+        return arr
+    if arr.is_fully_addressable or arr.is_fully_replicated:
+        return np.asarray(arr)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(arr, tiled=True))

@@ -39,9 +39,9 @@ def test_supports_gate():
 def test_pallas_step_matches_xla_step():
     logL, counts, alpha, bc = _problem()
     st0 = _rcg_init(logL, counts, alpha, bc)
-    kw = dict(length=5, tol=1e-6, verbose=False)
-    st_x = _rcg_chunk(st0, logL, counts, alpha, impl="xla", **kw)
-    st_p = _rcg_chunk(st0, logL, counts, alpha, impl="pallas_interpret", **kw)
+    kw = dict(length=5, tol=1e-6)
+    st_x, _ = _rcg_chunk(st0, logL, counts, alpha, impl="xla", **kw)
+    st_p, _ = _rcg_chunk(st0, logL, counts, alpha, impl="pallas_interpret", **kw)
     np.testing.assert_allclose(np.asarray(st_p.gamma), np.asarray(st_x.gamma), rtol=0, atol=2e-5)
     # f32 partials are grouped differently (row sums vs block sums), so
     # the f64 totals agree only to f32 round-off of the partials.
