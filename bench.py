@@ -1,19 +1,39 @@
-"""Benchmark harness: rcg optimizer throughput on the standard problem.
+"""Benchmark harness (SURVEY.md §10 M7): multi-algorithm, multi-scale.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+stdout: ONE JSON line {"metric", "value", "unit", "vs_baseline"} — the
+primary metric (rcg cell-updates/s at the standard shape).  Everything
+else goes to stderr and to BENCH_DETAILS.json:
 
-Metric: rcg cell-updates/sec = E_pad * G_pad * iters / elapsed on a
-synthetic f32 problem (E=2^19 ECs x G=512 groups by default; override
-with MSWEEP_BENCH_E/G/ITERS).  Cell-updates/s is size-independent, so it
-can be compared against the reference's published numbers
-(docs/gpubenchmarks.md): rcggpu on an NVIDIA A100 ran 220 iterations in
-43 s at ~28 GB f64 working set; with rcgpar-torch keeping ~3 live
-(G x E) f64 arrays that is ~1.16e9 cells, giving ~5.9e9 cell-updates/s.
-vs_baseline = ours / 5.9e9 (>1 means faster than the reference's A100).
+  rcg_throughput        E=2^19 x G=512 f32, fixed 30 iters (primary)
+  em_throughput         same shape, fixed 30 iters (EM reads logL once
+                        per iteration, so it/s is ~4x rcg's)
+  rcg_convergence       tol 1e-6 run on a realistic synthetic problem:
+                        iterations + seconds (reference: 220 it / 43 s
+                        on an A100, docs/gpubenchmarks.md:18)
+  em_convergence        tol 1e-6, capped; iterations + seconds
+  rcg_reference_scale   E≈2.1M x G=512 (efaec-1 is ~2.3M ECs): largest
+                        power-of-two-ish E that fits 16 GB v5e HBM;
+                        OOM is caught and recorded as "spill"
+  weak_scaling          (MSWEEP_BENCH_SUITE=full) 1/2/4/8-device CPU
+                        mesh, E per device fixed: efficiency = it/s(n)
+                        relative to it/s(1)
+  phase_e2e             (MSWEEP_BENCH_SUITE=full) phase-timed pipeline
+                        on a generated plaintext alignment: parse /
+                        collapse / likelihood / fit / write
+
+vs_baseline for the primary metric: the reference's own A100 rcggpu row
+(docs/gpubenchmarks.md:18) ran 220 iterations over the efaec-1 problem
+in 43 s with a ~28 GB f64 working set; with rcgpar-torch keeping ~3
+live (G x E) f64 arrays that is ~1.16e9 cells, i.e. ~5.9e9
+cell-updates/s.  vs_baseline = ours / 5.9e9.
+
+Env knobs: MSWEEP_BENCH_E/G/ITERS (primary shape), MSWEEP_BENCH_SUITE
+(quick|default|full), MSWEEP_BENCH_BIG_E (reference-scale E override).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -21,47 +41,44 @@ import numpy as np
 
 A100_BASELINE_CELLS_PER_SEC = 5.9e9  # derived above from docs/gpubenchmarks.md:18
 
+DETAILS = {}
 
-def main():
+
+def log(msg):
+    print(f"bench: {msg}", file=sys.stderr)
+
+
+def _synthetic_problem(E, G, dtype, seed=0, sharpness=4.0):
+    """Realistic structure: each EC strongly prefers a few groups (keeps
+    exp/logsumexp in realistic ranges), counts ~ reads-per-EC."""
     import jax
-
-    jax.config.update("jax_enable_x64", True)  # f64 scalar accumulation
     import jax.numpy as jnp
 
-    E = int(os.environ.get("MSWEEP_BENCH_E", 1 << 19))
-    G = int(os.environ.get("MSWEEP_BENCH_G", 512))
-    iters = int(os.environ.get("MSWEEP_BENCH_ITERS", 30))
-    dtype = jnp.float32
-
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from msweep_tpu.inference.mixture import bound_const
-    from msweep_tpu.inference.rcg import _fit_rcg_arrays
-
-    print(f"bench: E={E} G={G} iters={iters} dtype={dtype.__name__} "
-          f"backend={jax.default_backend()} devices={len(jax.devices())}",
-          file=sys.stderr)
-
-    # Synthetic likelihood with realistic structure: each EC strongly
-    # prefers a few groups (keeps exp/logsumexp in realistic ranges).
-    key = jax.random.PRNGKey(0)
-    k1, k2 = jax.random.split(key)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
     logL = jax.nn.log_softmax(
-        jax.random.normal(k1, (E, G), dtype) * 4.0, axis=1
+        jax.random.normal(k1, (E, G), dtype) * sharpness, axis=1
     )
     counts = jax.random.randint(k2, (E,), 1, 100).astype(dtype)
     alpha = jnp.ones((G,), dtype)
+    return logL, counts, alpha
+
+
+def bench_rcg_throughput(E, G, iters):
+    import jax
+    import jax.numpy as jnp
+    from msweep_tpu.inference.mixture import bound_const
+    from msweep_tpu.inference.rcg import _fit_rcg_arrays
+
+    logL, counts, alpha = _synthetic_problem(E, G, jnp.float32)
     bc = bound_const(np.asarray(counts, np.float64), np.ones(G))
 
-    # tol=-1 is bench mode: never converge, run exactly n iterations
-    # (one scan chunk per call -> a single device dispatch).
+    # tol=-1 is bench mode: never converge, run exactly n iterations.
     run = lambda n: _fit_rcg_arrays(
         logL, counts, alpha, bc, max_iters=n, tol=-1.0, verbose=False, chunk=n
     )
-    # Warmup must use the same chunk length as the timed run — length is a
-    # static argument of the jitted scan, so a different n recompiles.
     t0 = time.time()
     jax.block_until_ready(run(iters))
-    print(f"bench: compile+warmup {time.time()-t0:.1f}s", file=sys.stderr)
+    log(f"rcg compile+warmup {time.time()-t0:.1f}s")
 
     t0 = time.time()
     gamma, it, bound = jax.block_until_ready(run(iters))
@@ -69,22 +86,309 @@ def main():
     assert int(it) == iters
     assert np.isfinite(float(bound)), "non-finite bound in bench"
 
-    cells = E * G * iters
-    rate = cells / elapsed
-    its_per_sec = iters / elapsed
-    print(
-        f"bench: {iters} iters in {elapsed:.3f}s = {its_per_sec:.2f} it/s, "
-        f"{rate/1e9:.2f} G cell-updates/s",
-        file=sys.stderr,
+    rate = E * G * iters / elapsed
+    log(f"rcg_throughput: E={E} G={G} {iters} iters in {elapsed:.3f}s = "
+        f"{iters/elapsed:.2f} it/s, {rate/1e9:.2f} G cell-updates/s")
+    DETAILS["rcg_throughput"] = {
+        "E": E, "G": G, "iters": iters, "seconds": elapsed,
+        "it_per_s": iters / elapsed, "cell_updates_per_s": rate,
+        "effective_GBps": rate * 24 / 1e9,  # 6 f32 matrix traffics/iter
+    }
+    return rate
+
+
+def bench_em_throughput(E, G, iters):
+    import jax
+    import jax.numpy as jnp
+    from msweep_tpu.inference.em import _fit_em_arrays
+
+    logL, counts, alpha = _synthetic_problem(E, G, jnp.float32)
+    run = lambda n: _fit_em_arrays(
+        logL, counts, alpha, max_iters=n, tol=-1.0, verbose=False, chunk=n
     )
+    t0 = time.time()
+    jax.block_until_ready(run(iters)[0])
+    log(f"em compile+warmup {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    logp, it, obj = run(iters)
+    jax.block_until_ready(logp)
+    elapsed = time.time() - t0
+    assert int(it) == iters and np.isfinite(float(obj))
+
+    rate = E * G * iters / elapsed
+    log(f"em_throughput: E={E} G={G} {iters} iters in {elapsed:.3f}s = "
+        f"{iters/elapsed:.2f} it/s, {rate/1e9:.2f} G cell-updates/s")
+    DETAILS["em_throughput"] = {
+        "E": E, "G": G, "iters": iters, "seconds": elapsed,
+        "it_per_s": iters / elapsed, "cell_updates_per_s": rate,
+    }
+
+
+def bench_convergence(E, G, tol=1e-6):
+    import jax
+    import jax.numpy as jnp
+    from msweep_tpu.inference.mixture import bound_const
+    from msweep_tpu.inference.rcg import _fit_rcg_arrays
+    from msweep_tpu.inference.em import _fit_em_arrays
+
+    # Harder problem (lower sharpness => slower convergence, closer to
+    # the reference's 205-225 iterations at tol 1e-6).
+    logL, counts, alpha = _synthetic_problem(E, G, jnp.float32, seed=1, sharpness=1.5)
+    bc = bound_const(np.asarray(counts, np.float64), np.ones(G))
+
+    t0 = time.time()
+    gamma, it, bound = _fit_rcg_arrays(
+        logL, counts, alpha, bc, max_iters=2000, tol=tol, verbose=False, chunk=16
+    )
+    jax.block_until_ready(gamma)
+    elapsed = time.time() - t0
+    log(f"rcg_convergence: tol={tol} converged in {int(it)} iters, "
+        f"{elapsed:.2f}s (incl. compile) — reference A100: 220 it / 43 s")
+    DETAILS["rcg_convergence"] = {
+        "E": E, "G": G, "tol": tol, "iters": int(it), "seconds": elapsed,
+        "bound": float(bound),
+    }
+
+    t0 = time.time()
+    logp, it, obj = _fit_em_arrays(
+        logL, counts, alpha, max_iters=2000, tol=tol, verbose=False, chunk=16
+    )
+    jax.block_until_ready(logp)
+    elapsed = time.time() - t0
+    log(f"em_convergence: tol={tol} converged in {int(it)} iters, {elapsed:.2f}s")
+    DETAILS["em_convergence"] = {
+        "E": E, "G": G, "tol": tol, "iters": int(it), "seconds": elapsed,
+    }
+
+
+def bench_reference_scale(G, iters=10):
+    """efaec-1 scale (~2.3M ECs).  2.3M x 512 f32 needs ~14.5 GB for the
+    three live matrices alone — does not fit 16 GB v5e HBM with the init
+    temporaries, so the default is 2^21 (2.1M); OOM is caught + recorded."""
+    import jax
+    import jax.numpy as jnp
+    from msweep_tpu.inference.mixture import bound_const
+    from msweep_tpu.inference.rcg import _fit_rcg_arrays
+
+    E = int(os.environ.get("MSWEEP_BENCH_BIG_E", 1 << 21))
+    try:
+        logL, counts, alpha = _synthetic_problem(E, G, jnp.float32)
+        bc = bound_const(np.asarray(counts, np.float64), np.ones(G))
+        run = lambda n: _fit_rcg_arrays(
+            logL, counts, alpha, bc, max_iters=n, tol=-1.0, verbose=False, chunk=n
+        )
+        t0 = time.time()
+        jax.block_until_ready(run(iters))
+        log(f"reference-scale compile+warmup {time.time()-t0:.1f}s")
+        t0 = time.time()
+        gamma, it, bound = jax.block_until_ready(run(iters))
+        elapsed = time.time() - t0
+        rate = E * G * iters / elapsed
+        log(f"rcg_reference_scale: E={E} ({E/1e6:.2f}M ECs) G={G} "
+            f"{iters} iters in {elapsed:.3f}s = {iters/elapsed:.2f} it/s, "
+            f"{rate/1e9:.2f} G cell-updates/s "
+            f"(working set {3*E*G*4/2**30:.1f} GiB)")
+        DETAILS["rcg_reference_scale"] = {
+            "E": E, "G": G, "iters": iters, "seconds": elapsed,
+            "it_per_s": iters / elapsed, "cell_updates_per_s": rate,
+            "working_set_GiB": 3 * E * G * 4 / 2**30,
+        }
+        del logL, counts, gamma
+    except Exception as e:  # XlaRuntimeError OOM and friends
+        log(f"rcg_reference_scale: E={E} G={G} FAILED ({type(e).__name__}): "
+            f"{str(e)[:200]}")
+        DETAILS["rcg_reference_scale"] = {
+            "E": E, "G": G, "status": "spill/oom", "error": str(e)[:300],
+        }
+
+
+_WEAK_SCALING_CHILD = r"""
+import json, os, sys, time
+import numpy as np
+n = int(sys.argv[1])
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + f" --xla_force_host_platform_device_count={n}"
+)
+import jax
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+sys.path.insert(0, os.getcwd())
+from msweep_tpu.inference.mixture import bound_const
+from msweep_tpu.inference.rcg import _fit_rcg_arrays
+
+E_PER, G, ITERS = 1 << 13, 256, 6
+E = E_PER * n
+mesh = Mesh(np.array(jax.devices()[:n]), ("ec",))
+k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+logL = jax.device_put(
+    jax.nn.log_softmax(jax.random.normal(k1, (E, G), jnp.float32) * 4.0, axis=1),
+    NamedSharding(mesh, P("ec", None)),
+)
+counts = jax.device_put(
+    jax.random.randint(k2, (E,), 1, 100).astype(jnp.float32),
+    NamedSharding(mesh, P("ec")),
+)
+alpha = jnp.ones((G,), jnp.float32)
+bc = bound_const(np.asarray(counts, np.float64), np.ones(G))
+run = lambda: _fit_rcg_arrays(
+    logL, counts, alpha, bc, max_iters=ITERS, tol=-1.0, verbose=False,
+    chunk=ITERS, impl="pallas_opt_interpret", mesh=mesh,
+)
+jax.block_until_ready(run())
+t0 = time.time()
+jax.block_until_ready(run())
+dt = time.time() - t0
+print(json.dumps({"n": n, "E": E, "it_per_s": ITERS / dt}))
+"""
+
+
+def bench_weak_scaling():
+    """Sharded rcg on 1/2/4/8 virtual CPU devices, E per device fixed.
+
+    Each child process forces the CPU backend (the mesh/psum code path is
+    identical to TPU; Pallas kernels run in interpret mode on CPU, so the
+    absolute it/s is meaningless — the *ratio* measures collective +
+    sharding overhead)."""
+    results = []
+    for n in (1, 2, 4, 8):
+        r = subprocess.run(
+            [sys.executable, "-c", _WEAK_SCALING_CHILD, str(n)],
+            capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=1200,
+        )
+        if r.returncode != 0:
+            log(f"weak_scaling n={n} FAILED: {r.stderr[-300:]}")
+            return
+        row = json.loads(r.stdout.strip().splitlines()[-1])
+        results.append(row)
+        log(f"weak_scaling: n={row['n']} E={row['E']} {row['it_per_s']:.2f} it/s")
+    eff = results[-1]["it_per_s"] / results[0]["it_per_s"]
+    log(f"weak_scaling efficiency (8 dev vs 1, E/device fixed): {eff:.2%}")
+    DETAILS["weak_scaling"] = {"rows": results, "efficiency_8dev": eff}
+
+
+def bench_phase_e2e(n_reads=None, n_refs=512, n_groups=64):
+    if n_reads is None:
+        n_reads = int(os.environ.get("MSWEEP_BENCH_E2E_READS", 200_000))
+    """Phase-timed pipeline on a generated plaintext alignment
+    (gpubenchmarks.md methodology: the reference times the estimation
+    call; here every phase is timed)."""
+    import tempfile
+
+    rng = np.random.default_rng(0)
+    tmp = tempfile.mkdtemp(prefix="msweep_bench_")
+    aln = os.path.join(tmp, "aln.txt")
+    grp = os.path.join(tmp, "groups.txt")
+    t0 = time.time()
+    with open(grp, "w") as f:
+        for i in range(n_refs):
+            f.write(f"g{i % n_groups}\n")
+    with open(aln, "w") as f:
+        base = rng.integers(0, n_refs, size=n_reads)
+        extra = rng.integers(1, 40, size=n_reads)
+        for r in range(n_reads):
+            hits = np.unique(rng.integers(0, n_refs, size=extra[r]))
+            f.write(f"{r} {base[r]} " + " ".join(map(str, hits)) + "\n")
+    gen_s = time.time() - t0
+
+    from msweep_tpu.io.grouping import read_reference
+    from msweep_tpu.io.themisto import merge_strands, parse_plaintext_pairs
+    from msweep_tpu.io.compressed import read_input_bytes
+    from msweep_tpu.core.alignment import collapse
+    from msweep_tpu.core.likelihood import build_likelihood
+    from msweep_tpu.inference.pack import pack_problem
+    from msweep_tpu.inference.rcg import fit_rcg
+    from msweep_tpu.inference.mixture import mixture_components
+    import jax
+    import jax.numpy as jnp
+
+    phases = {}
+    t0 = time.time()
+    reference = read_reference(grp)
+    buf = read_input_bytes(aln)
+    r, t, n_seen = parse_plaintext_pairs(buf)
+    keys = merge_strands([(r, t)], reference.n_refs, "intersection")
+    phases["parse_s"] = time.time() - t0
+
+    t0 = time.time()
+    ec = collapse(keys, reference.n_refs, n_seen)
+    phases["collapse_s"] = time.time() - t0
+
+    t0 = time.time()
+    grouping = reference.groupings[0]
+    lik = build_likelihood(ec, grouping.indicators, grouping.sizes)
+    phases["likelihood_s"] = time.time() - t0
+
+    t0 = time.time()
+    prob = pack_problem(lik, dtype=jnp.float32)
+    gamma, it, bound = fit_rcg(prob, tol=1e-6, max_iters=2000)
+    jax.block_until_ready(gamma)
+    phases["fit_s"] = time.time() - t0
+    phases["fit_iters"] = int(it)
+
+    t0 = time.time()
+    theta = mixture_components(gamma, prob.counts, prob.n_groups)
+    jax.block_until_ready(theta)
+    phases["abundances_s"] = time.time() - t0
+    phases["n_ecs"] = ec.n_ecs
+
+    log(f"phase_e2e (n_reads={n_reads}, gen {gen_s:.1f}s): " +
+        " ".join(f"{k}={v:.2f}" if isinstance(v, float) else f"{k}={v}"
+                 for k, v in phases.items()))
+    DETAILS["phase_e2e"] = {"n_reads": n_reads, "n_refs": n_refs,
+                            "n_groups": n_groups, **phases}
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_enable_x64", True)  # f64 scalar accumulation
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    E = int(os.environ.get("MSWEEP_BENCH_E", 1 << 19))
+    G = int(os.environ.get("MSWEEP_BENCH_G", 512))
+    iters = int(os.environ.get("MSWEEP_BENCH_ITERS", 30))
+    suite = os.environ.get("MSWEEP_BENCH_SUITE", "default")
+
+    dev = jax.devices()[0]
+    log(f"suite={suite} backend={jax.default_backend()} "
+        f"device={getattr(dev, 'device_kind', '?')} n_devices={len(jax.devices())}")
+    DETAILS["config"] = {
+        "suite": suite, "backend": jax.default_backend(),
+        "device_kind": getattr(dev, "device_kind", "?"),
+        "n_devices": len(jax.devices()),
+    }
+
+    primary = bench_rcg_throughput(E, G, iters)
+
+    if suite != "quick":
+        bench_em_throughput(E, G, iters)
+        bench_convergence(E, G)
+    if suite == "full":
+        if jax.default_backend() == "tpu":
+            bench_reference_scale(G)
+        bench_phase_e2e()
+        bench_weak_scaling()
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json")
+    with open(out, "w") as f:
+        json.dump(DETAILS, f, indent=1)
+    log(f"details -> {out}")
 
     print(
         json.dumps(
             {
                 "metric": "rcg_cell_updates_per_sec",
-                "value": rate,
+                "value": primary,
                 "unit": "cells/s",
-                "vs_baseline": rate / A100_BASELINE_CELLS_PER_SEC,
+                "vs_baseline": primary / A100_BASELINE_CELLS_PER_SEC,
             }
         )
     )

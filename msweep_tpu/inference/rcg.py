@@ -82,7 +82,11 @@ from .pack import DeviceProblem, acc_dtype
 
 class RCGState(NamedTuple):
     gamma: jax.Array  # (E, G) log q(z)
-    d: jax.Array  # (E, G) conjugate direction
+    d: jax.Array  # (E, G): XLA impl = conjugate direction; Pallas impl =
+    #             PREVIOUS gamma (d is rebuilt as gamma - gamma_prev + r,
+    #             saving one matrix write + read per iteration — see
+    #             ops/rcg_pallas.py module docstring)
+    r: jax.Array  # (E, 1) lse-shift vector (Pallas impl only; zeros in XLA)
     n_counts: jax.Array  # (G,) Dirichlet posterior counts N (acc dtype)
     oldnorm: jax.Array  # scalar, previous metric norm (acc)
     bound: jax.Array  # scalar ELBO, running (acc)
@@ -152,13 +156,13 @@ def _make_step(tol: float):
         bound_new = st.bound + delta
 
         return _step_epilogue(
-            st, tol, gamma_new, d_new, n_new, newnorm, delta, bound_new
+            st, tol, gamma_new, d_new, st.r, n_new, newnorm, delta, bound_new
         )
 
     return step
 
 
-def _step_epilogue(st, tol, gamma_new, d_new, n_new, newnorm, delta, bound_new):
+def _step_epilogue(st, tol, gamma_new, d_new, r_new, n_new, newnorm, delta, bound_new):
     """Accept/revert + convergence bookkeeping shared by both step impls.
 
     The revert (bound decreased -> undo step, reset momentum) is a rare
@@ -177,22 +181,26 @@ def _step_epilogue(st, tol, gamma_new, d_new, n_new, newnorm, delta, bound_new):
     else:
         newly_done = (~decreased & (delta < tol)) | (decreased & st.just_reset)
 
-    gamma_out, d_out, n_out, norm_out, bound_out, delta_out = jax.lax.cond(
+    # On revert, d/r keep their stale values: just_reset forces beta=0 on
+    # the next step, so they are never read before being rewritten.
+    gamma_out, d_out, r_out, n_out, norm_out, bound_out, delta_out = jax.lax.cond(
         decreased,
         lambda: (
             st.gamma,
-            jnp.zeros_like(d_new),
+            st.d,
+            st.r,
             st.n_counts,
             jnp.ones((), acc),
             st.bound,
             st.delta,
         ),
-        lambda: (gamma_new, d_new, n_new, newnorm, bound_new, delta),
+        lambda: (gamma_new, d_new, r_new, n_new, newnorm, bound_new, delta),
     )
 
     return RCGState(
         gamma=gamma_out,
         d=d_out,
+        r=r_out,
         n_counts=n_out,
         oldnorm=norm_out,
         bound=bound_out,
@@ -203,7 +211,7 @@ def _step_epilogue(st, tol, gamma_new, d_new, n_new, newnorm, delta, bound_new):
     )
 
 
-def _step_epilogue_optimistic(st, gamma_new, d_new, n_new, newnorm, delta, bound_new):
+def _step_epilogue_optimistic(st, gamma_new, d_new, r_new, n_new, newnorm, delta, bound_new):
     """Always-accept epilogue: no revert/convergence cond on the big buffers.
 
     The accept/revert lax.cond in _step_epilogue costs ~4 extra (E, G)
@@ -220,6 +228,7 @@ def _step_epilogue_optimistic(st, gamma_new, d_new, n_new, newnorm, delta, bound
     return RCGState(
         gamma=gamma_new,
         d=d_new,
+        r=r_new,
         n_counts=n_new,
         oldnorm=newnorm,
         bound=bound_new,
@@ -248,7 +257,7 @@ def _make_step_pallas(tol: float, interpret: bool, mesh=None, optimistic: bool =
 
     acc = acc_dtype()
 
-    def kernels(logL, gamma, d, counts2d, psi, oldnorm, no_momentum):
+    def kernels(logL, gamma, gprev, r, counts2d, psi, oldnorm, no_momentum):
         """Per-shard kernel calls; reductions are shard-local here."""
         newnorm_f32, lse1, rowelbo = rcg_pallas.rcg_norm(
             logL, gamma, counts2d, psi, interpret=interpret
@@ -260,8 +269,8 @@ def _make_step_pallas(tol: float, interpret: bool, mesh=None, optimistic: bool =
             no_momentum | (oldnorm <= 0), jnp.zeros((), acc), newnorm / oldnorm
         ).astype(logL.dtype)
 
-        gamma_new, d_new, colsum, elbo_f32 = rcg_pallas.rcg_update(
-            logL, gamma, d, counts2d, psi, lse1, rowelbo, beta_fr,
+        gamma_new, r_new, colsum, elbo_f32 = rcg_pallas.rcg_update(
+            logL, gamma, gprev, counts2d, psi, lse1, rowelbo, r, beta_fr,
             interpret=interpret,
         )
         colsum = colsum.astype(acc)
@@ -269,7 +278,7 @@ def _make_step_pallas(tol: float, interpret: bool, mesh=None, optimistic: bool =
         if mesh is not None:
             colsum = jax.lax.psum(colsum, "ec")
             elbo_delta = jax.lax.psum(elbo_delta, "ec")
-        return gamma_new, d_new, colsum, elbo_delta, newnorm
+        return gamma_new, r_new, colsum, elbo_delta, newnorm
 
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
@@ -280,7 +289,7 @@ def _make_step_pallas(tol: float, interpret: bool, mesh=None, optimistic: bool =
         kernels = shard_map(
             kernels,
             mesh=mesh,
-            in_specs=(sharded, sharded, sharded, sharded, rep, rep, rep),
+            in_specs=(sharded, sharded, sharded, sharded, sharded, rep, rep, rep),
             out_specs=(sharded, sharded, rep, rep, rep),
             check_vma=False,
         )
@@ -290,20 +299,21 @@ def _make_step_pallas(tol: float, interpret: bool, mesh=None, optimistic: bool =
         psi = digamma(st.n_counts).astype(dtype)[None, :]
         no_momentum = st.just_reset | (st.it == 0)
 
-        gamma_new, d_new, colsum, elbo_delta, newnorm = kernels(
-            logL, st.gamma, st.d, counts[:, None], psi, st.oldnorm, no_momentum
+        gamma_new, r_new, colsum, elbo_delta, newnorm = kernels(
+            logL, st.gamma, st.d, st.r, counts[:, None], psi, st.oldnorm, no_momentum
         )
         n_new = alpha.astype(acc) + colsum
         dirichlet_delta = jnp.sum(gammaln(n_new) - gammaln(st.n_counts))
         delta = elbo_delta + dirichlet_delta
         bound_new = st.bound + delta
 
+        # New gamma_prev = the old gamma (same buffer, no copy).
         if optimistic:
             return _step_epilogue_optimistic(
-                st, gamma_new, d_new, n_new, newnorm, delta, bound_new
+                st, gamma_new, st.gamma, r_new, n_new, newnorm, delta, bound_new
             )
         return _step_epilogue(
-            st, tol, gamma_new, d_new, n_new, newnorm, delta, bound_new
+            st, tol, gamma_new, st.gamma, r_new, n_new, newnorm, delta, bound_new
         )
 
     return step
@@ -328,7 +338,11 @@ def _rcg_init(logL, counts, alpha, bc):
     )
     return RCGState(
         gamma=gamma0,
+        # d starts at zeros; the first step runs with beta=0 (no momentum),
+        # so both impls' readings of this slot (direction / gamma_prev)
+        # are inert until first written.
         d=jnp.zeros_like(gamma0),
+        r=jnp.zeros((gamma0.shape[0], 1), dtype),
         n_counts=n0,
         oldnorm=jnp.ones((), acc),
         bound=bound0,

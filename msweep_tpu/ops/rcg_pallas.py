@@ -1,18 +1,31 @@
 """Fused Pallas TPU kernels for one rcg iteration.
 
 The rcg step (inference/rcg.py, reconstructing rcgpar::rcg_optl_* — call
-sites src/mSWEEP.cpp:176-205) streams the (E, G) arrays logL, gamma, d
-and writes gamma', d' each iteration.  The Fletcher-Reeves coefficient
-needs a global reduction over the *current* natural-gradient direction
-before the update can be applied, so one iteration is inherently two
-passes:
+sites src/mSWEEP.cpp:176-205) streams the (E, G) matrices each
+iteration.  The Fletcher-Reeves coefficient needs a global reduction
+over the *current* natural-gradient direction before the update can be
+applied, so one iteration is inherently two passes:
 
   pass 1 (norm):    read logL, gamma            -> newnorm, lse1,
                                                    per-row old ELBO terms
-  pass 2 (update):  read logL, gamma, d (+ the (E,1) pass-1 vectors)
-                    write gamma', d'            -> colsum, ELBO delta
+  pass 2 (update):  read logL, gamma, gamma_prev (+ (E,1) vectors)
+                    write gamma'                 -> r', colsum, ELBO delta
 
-Total 7 (E, G)-array traffics plus ~3/G of vector traffic per iteration.
+Total SIX (E, G)-array traffics plus ~4/G of vector traffic per
+iteration.  The conjugate direction d is never stored: with
+u = t + beta*d the update satisfies
+
+  gamma' = u - lse(u)        and        d' = u - lse1 - gamma,
+
+so    d' = (gamma' - gamma) + r'   with   r' = lse(u) - lse1  (E,1).
+
+Carrying (gamma, gamma_prev, r) instead of (gamma, d) therefore removes
+one full (E, G) write AND one read per iteration (7 -> 6 traffics for
+the pair of passes; d is rebuilt in-kernel with two adds).  The
+subtraction gamma - gamma_prev of nearly-equal f32s is exact (Sterbenz),
+so the rebuilt d carries the same O(eps*|gamma|) absolute error as a
+stored one.
+
 On top of the bandwidth floor the step is exp-bound on the VPU, so the
 kernels are arranged to spend exactly THREE exp sweeps per iteration:
 
@@ -22,9 +35,7 @@ kernels are arranged to spend exactly THREE exp sweeps per iteration:
 
 Pass 2 reuses its softmax numerator for the new weights
 (w_new = c * e2 / sum(e2) == c * exp(gamma_new), exactly), and reads
-lse1 from pass 1 instead of recomputing eta: the identity
-rownorm(gamma + d_new) = u - lse(u) with u = t + beta*d means the
-retraction never needs lse1, only d_new = u - lse1 - gamma does.
+lse1 from pass 1 instead of recomputing eta.
 
 The ELBO data-term change is accumulated from per-row differences
 (sum_g w_new(logL - gamma') minus pass 1's per-row old sums): rows
@@ -100,13 +111,14 @@ def _update_kernel(
     beta_ref,  # (1,1) SMEM scalar: Fletcher-Reeves coefficient
     logL_ref,
     gamma_ref,
-    d_ref,
+    gprev_ref,  # previous gamma: d = gamma - gamma_prev + r
     counts_ref,
     psi_ref,
     lse1_ref,
     rowelbo_ref,
+    r_ref,  # (E,1) lse-shift carried from the previous update
     gnew_ref,
-    dnew_ref,
+    rnew_ref,
     colsum_ref,
     elbo_ref,
 ):
@@ -118,20 +130,22 @@ def _update_kernel(
     logL = logL_ref[:]
     gamma = gamma_ref[:]
     t = logL + psi_ref[:]
-    u = t + beta_ref[0, 0] * d_ref[:]
+    d = (gamma - gprev_ref[:]) + r_ref[:]
+    u = t + beta_ref[0, 0] * d
 
     # rownorm(gamma + d_new) == u - lse(u): the lse1 shift cancels.
     m2 = jnp.max(u, axis=1, keepdims=True)
     e2 = jnp.exp(u - m2)  # exp sweep 3 — reused for the weights below
     s2 = jnp.sum(e2, axis=1, keepdims=True)
-    g_new = (u - m2) - jnp.log(s2)
-    d_new = (u - lse1_ref[:]) - gamma
+    logs2 = jnp.log(s2)
+    g_new = (u - m2) - logs2
+    # d_new = (u - lse1) - gamma = (g_new - gamma) + r_new:
+    rnew_ref[:, :] = (m2 + logs2) - lse1_ref[:]
 
     c = counts_ref[:]
     w_new = (c / s2) * e2  # == c * exp(g_new), no extra exp sweep
 
     gnew_ref[:] = g_new
-    dnew_ref[:] = d_new
     _acc_add(colsum_ref, jnp.sum(w_new, axis=0, keepdims=True))
     row_new = jnp.sum(w_new * (logL - g_new), axis=1, keepdims=True)
     _acc_add(elbo_ref, jnp.sum(row_new - rowelbo_ref[:]))
@@ -189,29 +203,31 @@ def rcg_norm(logL, gamma, counts2d, psi, *, interpret: bool = False):
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def rcg_update(logL, gamma, d, counts2d, psi, lse1, rowelbo, beta, *, interpret: bool = False):
+def rcg_update(logL, gamma, gprev, counts2d, psi, lse1, rowelbo, r, beta, *, interpret: bool = False):
     """Apply the conjugate step.
 
-    Returns (gamma_new, d_new, colsum (G,) f32, elbo_delta scalar f32)
-    where elbo_delta is already the data-term CHANGE vs the pre-step
-    state (row-level differencing against pass 1's per-row sums).
+    Returns (gamma_new, r_new (E,1), colsum (G,) f32, elbo_delta scalar
+    f32) where elbo_delta is already the data-term CHANGE vs the
+    pre-step state (row-level differencing against pass 1's per-row
+    sums).  The caller's next state is (gamma_new, gamma, r_new): the
+    old gamma becomes gamma_prev with no copy.
     """
     E, G = logL.shape
     be = _pick_block_e(E, G)  # 512KB blocks measured fastest on v5e
     beta2d = jnp.asarray(beta, jnp.float32).reshape(1, 1)
     with jax.enable_x64(False):
-        gamma_new, d_new, colsum, elbo = pl.pallas_call(
+        gamma_new, r_new, colsum, elbo = pl.pallas_call(
             _update_kernel,
             grid=(E // be,),
-            # gamma' and d' overwrite gamma and d in place (block i is
-            # read before block i is written; rcg_norm's read of gamma
-            # completes before this kernel runs).  Declaring the alias
+            # gamma' overwrites gamma_prev in place (that buffer is dead
+            # after this kernel: the state ping-pongs between the two
+            # gamma buffers), and r' overwrites r.  Declaring the alias
             # lets donated state buffers thread through with ZERO copies
             # — XLA's own donation pass was inserting full-matrix copies
             # (~7 ms/iter at E=2^19) when left to infer reuse; when the
-            # caller still needs the old gamma (the exact step's revert
+            # caller still needs gamma_prev (the exact step's revert
             # cond), jax inserts the preserving copy automatically.
-            input_output_aliases={2: 0, 3: 1},
+            input_output_aliases={3: 0, 8: 1},
             in_specs=[
                 pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
                 _mat_spec(be, G),
@@ -221,19 +237,20 @@ def rcg_update(logL, gamma, d, counts2d, psi, lse1, rowelbo, beta, *, interpret:
                 pl.BlockSpec((1, G), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 _vec_spec(be),
                 _vec_spec(be),
+                _vec_spec(be),
             ],
             out_specs=[
                 _mat_spec(be, G),
-                _mat_spec(be, G),
+                _vec_spec(be),
                 _acc_spec(8, G),
                 _acc_spec(8, 128),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((E, G), jnp.float32),
-                jax.ShapeDtypeStruct((E, G), jnp.float32),
+                jax.ShapeDtypeStruct((E, 1), jnp.float32),
                 jax.ShapeDtypeStruct((8, G), jnp.float32),
                 jax.ShapeDtypeStruct((8, 128), jnp.float32),
             ],
             interpret=interpret,
-        )(beta2d, logL, gamma, d, counts2d, psi, lse1, rowelbo)
-    return gamma_new, d_new, colsum[0, :], elbo[0, 0]
+        )(beta2d, logL, gamma, gprev, counts2d, psi, lse1, rowelbo, r)
+    return gamma_new, r_new, colsum[0, :], elbo[0, 0]
