@@ -239,13 +239,12 @@ def _step_epilogue_optimistic(st, gamma_new, d_new, r_new, n_new, newnorm, delta
     )
 
 
-def _make_step_pallas(tol: float, interpret: bool, mesh=None, optimistic: bool = False):
-    """Step built on the fused Pallas kernels (ops/rcg_pallas.py).
+def _make_kernels(mesh, interpret):
+    """The fused-Pallas pair of passes for one iteration, mesh-aware.
 
-    Identical math to _make_step: two fused passes over the (E, G)
-    matrices (norm, then update) with per-block f32 partials summed in
-    f64 here, exactly mirroring _rowsum_acc/_colsum_acc two-stage
-    accumulation.
+    Two fused passes over the (E, G) matrices (norm, then update) with
+    per-block f32 partials summed in f64 by the caller, exactly
+    mirroring _rowsum_acc/_colsum_acc two-stage accumulation.
 
     With a mesh, the kernel calls run under shard_map over the "ec"
     axis: each device runs the fused kernels on its EC shard and the
@@ -293,6 +292,13 @@ def _make_step_pallas(tol: float, interpret: bool, mesh=None, optimistic: bool =
             out_specs=(sharded, sharded, rep, rep, rep),
             check_vma=False,
         )
+    return kernels
+
+
+def _make_step_pallas(tol: float, interpret: bool, mesh=None, optimistic: bool = False):
+    """RCGState-shaped step built on _make_kernels (exact/revert path)."""
+    acc = acc_dtype()
+    kernels = _make_kernels(mesh, interpret)
 
     def step(st: RCGState, logL, counts, alpha):
         dtype = logL.dtype
@@ -420,25 +426,51 @@ def _rcg_step_pallas_jit(state, logL, counts, alpha, *, tol: float, mesh=None):
     return _guarded_step(step, state, logL, counts, alpha)
 
 
-def _opt_step(state, hist, it0, logL, counts, alpha, *, mesh, interpret):
-    step = _make_step_pallas(
-        tol=-1.0, interpret=interpret, mesh=mesh, optimistic=True
+def _opt_step_flat(
+    gamma, gprev, r, n_counts, oldnorm, it, bound, hist, it0,
+    logL, counts, alpha, *, mesh, interpret,
+):
+    """One always-accept iteration with the state UNPACKED.
+
+    The caller keeps `gamma` alive host-side and ping-pongs it into the
+    next call's `gprev` slot; gamma is deliberately NOT returned.  The
+    round-2 shape of this step (pack the state, return RCGState with
+    d=old-gamma) made XLA insert THREE full-matrix defensive copies per
+    iteration (~11 ms at E=2^19: a donated input returned verbatim as an
+    output conflicts with the pallas in/out alias of gprev->gamma'), which
+    is exactly what the donation + input_output_aliases design was meant
+    to avoid.  With gamma held by the host and only (gprev, r, hist)
+    donated, every buffer pairs with exactly one same-shaped output and
+    the profile shows zero copies.
+    """
+    from ..ops import rcg_pallas  # noqa: F401 (kernels built below)
+
+    acc = acc_dtype()
+    step_kernels = _make_kernels(mesh, interpret)
+    psi = digamma(n_counts).astype(logL.dtype)[None, :]
+    no_momentum = it == 0
+
+    gamma_new, r_new, colsum, elbo_delta, newnorm = step_kernels(
+        logL, gamma, gprev, r, counts[:, None], psi, oldnorm, no_momentum
     )
-    new = step(state, logL, counts, alpha)
-    hist = jax.lax.dynamic_update_slice(hist, new.delta[None], (state.it - it0,))
-    return new, hist
+    n_new = alpha.astype(acc) + colsum
+    dirichlet_delta = jnp.sum(gammaln(n_new) - gammaln(n_counts))
+    delta = elbo_delta + dirichlet_delta
+    hist = jax.lax.dynamic_update_slice(hist, delta[None], (it - it0,))
+    return gamma_new, r_new, n_new, newnorm, it + 1, bound + delta, hist
 
 
-# Two compilations of the optimistic step: the first step of each chunk
-# must NOT donate its input — the undonated pre-chunk state is the free
-# snapshot the replay path restores from (donation only recycles buffers,
-# so skipping it costs nothing extra).
-_rcg_opt_step_donate = partial(
-    jax.jit, static_argnames=("mesh", "interpret"), donate_argnums=(0, 1)
-)(_opt_step)
-_rcg_opt_step_fresh = partial(
+# Donating variant clobbers (gprev, r, hist): gprev's buffer becomes
+# gamma' (the pallas in/out alias), r's becomes r'.  The fresh variant
+# donates nothing — used for the first TWO steps of a snapshot chunk so
+# the chunk-start (gamma0, gprev0, r0) survive for replay (gamma0 is
+# step 1's gprev, so it must not be donated there either).
+_rcg_opt_flat_donate = partial(
+    jax.jit, static_argnames=("mesh", "interpret"), donate_argnums=(1, 2, 7)
+)(_opt_step_flat)
+_rcg_opt_flat_fresh = partial(
     jax.jit, static_argnames=("mesh", "interpret")
-)(_opt_step)
+)(_opt_step_flat)
 
 
 def _fit_rcg_pallas_optimistic(
@@ -473,21 +505,47 @@ def _fit_rcg_pallas_optimistic(
     import numpy as np
 
     acc = acc_dtype()
+    bench_mode = tol < 0 and not verbose
+
+    def run_chunk(carry, n, it0, protect):
+        """n always-accept steps from `carry`, host-side gamma ping-pong.
+
+        `protect`: how many leading steps use the non-donating stepper.
+        With snapshots (protect=2) the chunk-start (gamma0, gprev0, r0)
+        buffers survive for replay; bench mode passes protect=0 and runs
+        with just 3 live matrices (logL + the two gamma buffers) — what
+        lets reference-scale problems fit single-chip HBM.
+        """
+        gamma, gprev, r, n_counts, oldnorm, itc, bound = carry
+        hist = jnp.zeros((n,), acc)
+        for j in range(n):
+            stepper = _rcg_opt_flat_fresh if j < protect else _rcg_opt_flat_donate
+            gamma_new, r, n_counts, oldnorm, itc, bound, hist = stepper(
+                gamma, gprev, r, n_counts, oldnorm, itc, bound, hist, it0,
+                logL, counts, alpha, mesh=mesh, interpret=interpret,
+            )
+            gprev, gamma = gamma, gamma_new
+        return (gamma, gprev, r, n_counts, oldnorm, itc, bound), hist
+
+    def to_state(carry, done):
+        gamma, gprev, r, n_counts, oldnorm, itc, bound = carry
+        return RCGState(
+            gamma=gamma, d=gprev, r=r, n_counts=n_counts, oldnorm=oldnorm,
+            bound=bound, delta=jnp.asarray(jnp.inf, acc), it=itc,
+            done=jnp.asarray(done, bool), just_reset=jnp.zeros((), bool),
+        )
+
+    carry = (state.gamma, state.d, state.r, state.n_counts,
+             state.oldnorm, state.it, state.bound)
     it = 0
     while it < max_iters:
         n = min(chunk, max_iters - it)
-        snapshot = state
-        hist = jnp.zeros((n,), acc)
-        # Real copy (not an alias of state.it): the revert branch donates
-        # the snapshot's buffers while it0 may still be referenced.
-        it0 = state.it + jnp.zeros((), state.it.dtype)
-        for j in range(n):
-            stepper = _rcg_opt_step_fresh if j == 0 else _rcg_opt_step_donate
-            state, hist = stepper(
-                state, hist, it0, logL, counts, alpha,
-                mesh=mesh, interpret=interpret,
-            )
-        if tol < 0 and not verbose:  # bench mode: no convergence, no replay
+        snapshot = carry
+        # Real copy (not an alias of the carried it): the chunk donates
+        # buffers while it0 may still be referenced.
+        it0 = carry[5] + jnp.zeros((), carry[5].dtype)
+        carry, hist = run_chunk(carry, n, it0, protect=0 if bench_mode else 2)
+        if bench_mode:  # no convergence checks, no replay
             it += n
             continue
         h = np.asarray(hist)  # chunk-boundary sync
@@ -496,9 +554,9 @@ def _fit_rcg_pallas_optimistic(
         event = decreased | converged
         j = int(np.argmax(event)) if event.any() else n
         if verbose:
-            # snapshot is never donated (the chunk's first step runs the
-            # fresh stepper), so its bound is still fetchable here.
-            b0 = float(np.asarray(snapshot.bound))
+            # The snapshot's first two steps never donate, so the
+            # chunk-start bound is still fetchable here.
+            b0 = float(np.asarray(snapshot[6]))
             bounds = b0 + np.cumsum(h)
             # Print accepted iterations; after a revert the whole chunk
             # re-runs (and prints) through the exact step below, so host
@@ -518,17 +576,11 @@ def _fit_rcg_pallas_optimistic(
             it += n
             continue
         # Restore the chunk-start state and re-run exactly.
-        state = snapshot
         if converged[j] and not decreased[j]:
             # Deterministic replay of the j+1 accepted steps, then stop.
-            hist2 = jnp.zeros((n,), acc)
-            for k in range(j + 1):
-                stepper = _rcg_opt_step_fresh if k == 0 else _rcg_opt_step_donate
-                state, hist2 = stepper(
-                    state, hist2, it0, logL, counts, alpha,
-                    mesh=mesh, interpret=interpret,
-                )
-            return state._replace(done=jnp.ones((), bool))
+            carry, _ = run_chunk(snapshot, j + 1, it0, protect=2)
+            return to_state(carry, done=True)
+        state = to_state(snapshot, done=False)
         # A revert fired: finish the fit with the exact cond-ful step
         # (reverts cluster at the numerical floor, so this tail is short).
         while it < max_iters:
@@ -554,7 +606,7 @@ def _fit_rcg_pallas_optimistic(
             if bool(state.done):
                 break
         return state
-    return state
+    return to_state(carry, done=False)
 
 
 def _fit_rcg_arrays(
