@@ -92,7 +92,7 @@ def bench_rcg_throughput(E, G, iters):
     DETAILS["rcg_throughput"] = {
         "E": E, "G": G, "iters": iters, "seconds": elapsed,
         "it_per_s": iters / elapsed, "cell_updates_per_s": rate,
-        "effective_GBps": rate * 24 / 1e9,  # 6 f32 matrix traffics/iter
+        "effective_GBps": rate * 8 / 1e9,  # 2 f32 matrix traffics/iter (implicit gamma)
     }
     return rate
 
@@ -236,7 +236,7 @@ alpha = jnp.ones((G,), jnp.float32)
 bc = bound_const(np.asarray(counts, np.float64), np.ones(G))
 run = lambda: _fit_rcg_arrays(
     logL, counts, alpha, bc, max_iters=ITERS, tol=-1.0, verbose=False,
-    chunk=ITERS, impl="pallas_opt_interpret", mesh=mesh,
+    chunk=ITERS, impl="pallas_interpret", mesh=mesh,
 )
 jax.block_until_ready(run())
 t0 = time.time()

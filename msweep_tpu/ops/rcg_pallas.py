@@ -1,57 +1,70 @@
-"""Fused Pallas TPU kernels for one rcg iteration.
+"""Fused Pallas TPU kernels for one rcg iteration, with IMPLICIT gamma.
 
 The rcg step (inference/rcg.py, reconstructing rcgpar::rcg_optl_* — call
-sites src/mSWEEP.cpp:176-205) streams the (E, G) matrices each
-iteration.  The Fletcher-Reeves coefficient needs a global reduction
-over the *current* natural-gradient direction before the update can be
-applied, so one iteration is inherently two passes:
+sites src/mSWEEP.cpp:176-205) is, in explicit form, a stream over three
+(E, G) matrices (logL, gamma, direction) per iteration.  But the update
+recursion makes gamma an affine function of logL: with t_k = logL + psi_k
+(psi_k a (G,) row vector) the implemented step is
 
-  pass 1 (norm):    read logL, gamma            -> newnorm, lse1,
-                                                   per-row old ELBO terms
-  pass 2 (update):  read logL, gamma, gamma_prev (+ (E,1) vectors)
-                    write gamma'                 -> r', colsum, ELBO delta
+    gamma_k = rownorm(t_k + beta_k * d_k),      d_k = s_k + beta_k d_{k-1},
+    s_k     = rownorm(t_k) - gamma_{k-1},
 
-Total SIX (E, G)-array traffics plus ~4/G of vector traffic per
-iteration.  The conjugate direction d is never stored: with
-u = t + beta*d the update satisfies
+and row-constant shifts of d never affect gamma (they cancel in the row
+normalization) nor any reduction (the norm uses s, not d).  So modulo
+row constants
 
-  gamma' = u - lse(u)        and        d' = u - lse1 - gamma,
+    gamma_k = rownorm(c_k * logL + v_k),        d_k ~ e_k * logL + f_k,
 
-so    d' = (gamma' - gamma) + r'   with   r' = lse(u) - lse1  (E,1).
+with the tiny recursion (scalar c, e; (G,) vectors v, f):
 
-Carrying (gamma, gamma_prev, r) instead of (gamma, d) therefore removes
-one full (E, G) write AND one read per iteration (7 -> 6 traffics for
-the pair of passes; d is rebuilt in-kernel with two adds).  The
-subtraction gamma - gamma_prev of nearly-equal f32s is exact (Sterbenz),
-so the rebuilt d carries the same O(eps*|gamma|) absolute error as a
-stored one.
+    e_k = (1 - c_{k-1}) + beta_k e_{k-1}        # from s_k's affine form
+    f_k = (psi_k - v_{k-1}) + beta_k f_{k-1}
+    c_k = c_{k-1} + e_k,   v_k = v_{k-1} + f_k
 
-On top of the bandwidth floor the step is exp-bound on the VPU, so the
-kernels are arranged to spend exactly THREE exp sweeps per iteration:
+A momentum reset (beta = 0) gives c = 1, v = psi — the exact VB step —
+and the initial gamma_0 = rownorm(where(logL > PAD, 0, logL)) is (c, v)
+= (0, 0) under the same pad masking used in the kernels.
 
-  1. exp(t - m) for the row logsumexp of eta        (pass 1)
-  2. exp(gamma) for the metric weights              (pass 1)
-  3. exp(u - m2) for the retraction row-softmax     (pass 2)
+Consequences:
 
-Pass 2 reuses its softmax numerator for the new weights
-(w_new = c * e2 / sum(e2) == c * exp(gamma_new), exactly), and reads
-lse1 from pass 1 instead of recomputing eta.
+- NO (E, G) state is stored at all.  One iteration reads logL twice
+  (norm pass, then update pass) and writes nothing big: TWO matrix
+  traffics per iteration instead of six (round-2 design) or seven
+  (round-1), i.e. an 8 B/cell HBM floor.  gamma is materialized once
+  after convergence, only if the caller needs it (probs/binning).
+- The working set is logL alone: reference-scale problems (2.3M ECs x
+  512 groups f32 = 4.7 GB) fit a single 16 GB chip with room to spare.
+- Accept/revert and convergence bookkeeping act on O(G) state, so the
+  exact per-iteration cond costs nothing — the round-2 "optimistic
+  replay" host machinery is unnecessary and deleted.
 
-The ELBO data-term change is accumulated from per-row differences
-(sum_g w_new(logL - gamma') minus pass 1's per-row old sums): rows
-change little near convergence, so the row-level cancellation keeps the
-f64 total accurate at tolerances far below f32 resolution of the whole
-term (same reasoning as rcg.py module docstring point 2).
+Exp-sweep budget is unchanged at THREE per iteration:
 
-Reductions accumulate across the sequential TPU grid into
-constant-index output tiles (grid steps run in order on one core, so
-read-modify-write of a resident output block is the standard Pallas
-accumulation pattern).  G rides the 128-wide lanes in one block
-(G_pad <= _MAX_G), the E axis is the grid.
+  1. exp(t - m)      row logsumexp of t            (norm pass)
+  2. exp(ghat - mg)  recompute gamma's row softmax (norm pass; the
+                     numerator is reused for the metric weights
+                     w = counts * exp(gamma) = counts * eg / sg)
+  3. exp(uhat - m2)  the new gamma's row softmax   (update pass; reused
+                     for the new weights)
+
+The ELBO data-term change is accumulated from per-row differences: the
+norm pass recomputes the OLD per-row term sum_g w (logL - gamma) from
+(c, v) — bit-identical to what the previous update pass computed from
+the same (c, v), since both kernels use the same masked-softmax op
+sequence — and the update pass subtracts it from the new rows.  Row
+pairs nearly cancel, so the f32 partials keep f64-summed totals accurate
+at tolerances far below f32 resolution of the whole term (rcg.py module
+docstring point 2).
+
+Reductions accumulate across the sequential TPU grid into constant-index
+output tiles (grid steps run in order on one core).  G rides the
+128-wide lanes in one block (G_pad <= _MAX_G), the E axis is the grid.
 
 Padding contract (inference/pack.py): padded rows have counts == 0 so
-they contribute 0 to every partial; padded group columns hold NEG so
-their softmax weight underflows to 0 exactly.
+they contribute 0 to every partial; padded group columns hold NEG, and
+both kernels force cells with logL <= PAD_THRESHOLD to logL itself
+(bypassing the affine map) so their softmax weight underflows to 0
+exactly no matter what (c, v) are.
 """
 
 from __future__ import annotations
@@ -62,6 +75,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from ..utils import PAD_THRESHOLD
 
 # Every (block_e, G) f32 operand block must fit VMEM (~16 MB) with
 # double buffering.  512KB blocks measured fastest on v5e across kernels
@@ -78,11 +93,6 @@ def _pick_block_e(E: int, G: int, target_bytes: int = 512 * 1024) -> int:
     return be
 
 
-def _row_logsumexp(t):
-    m = jnp.max(t, axis=1, keepdims=True)
-    return m + jnp.log(jnp.sum(jnp.exp(t - m), axis=1, keepdims=True))
-
-
 def _acc_add(ref, value):
     """Full-tile broadcast accumulate (scalar and sub-tile VMEM stores are
     not supported by the Mosaic lowering); every cell carries the running
@@ -90,62 +100,55 @@ def _acc_add(ref, value):
     ref[:, :] += jnp.broadcast_to(value, ref.shape)
 
 
-def _norm_kernel(logL_ref, gamma_ref, counts_ref, psi_ref,
-                 norm_ref, lse1_ref, rowelbo_ref):
+def _masked_softmax(logL, chat, vhat):
+    """Row softmax of the affine map ghat = chat*logL + vhat with the pad
+    mask applied THROUGH logL itself (padded cells hold NEG and stay NEG).
+
+    Returns (gamma, num, denom) with gamma = ghat - lse(ghat) and
+    num/denom the softmax numerator/denominator, so callers get
+    exp(gamma) == num / denom without another exp sweep.  Both kernels
+    MUST build gamma through this one helper: the ELBO row differencing
+    relies on the norm pass recomputing bit-identical values to what the
+    previous update pass produced from the same (c, v).
+    """
+    ghat = jnp.where(logL <= PAD_THRESHOLD, logL, chat * logL + vhat)
+    m = jnp.max(ghat, axis=1, keepdims=True)
+    num = jnp.exp(ghat - m)
+    denom = jnp.sum(num, axis=1, keepdims=True)
+    gamma = (ghat - m) - jnp.log(denom)
+    return gamma, num, denom
+
+
+def _norm_kernel(c_ref, logL_ref, counts_ref, psi_ref, v_ref,
+                 norm_ref, rowelbo_ref):
     @pl.when(pl.program_id(0) == 0)
     def _():
         norm_ref[:, :] = jnp.zeros_like(norm_ref)
 
     logL = logL_ref[:]
-    gamma = gamma_ref[:]
     t = logL + psi_ref[:]
-    lse1 = _row_logsumexp(t)  # exp sweep 1
-    s = (t - lse1) - gamma
-    w = counts_ref[:] * jnp.exp(gamma)  # exp sweep 2
-    lse1_ref[:, :] = lse1
+    m1 = jnp.max(t, axis=1, keepdims=True)
+    lse1 = m1 + jnp.log(jnp.sum(jnp.exp(t - m1), axis=1, keepdims=True))  # exp 1
+
+    gamma, num, denom = _masked_softmax(logL, c_ref[0, 0], v_ref[:])  # exp 2
+    w = counts_ref[:] * (num / denom)  # == counts * exp(gamma)
+    s = (t - lse1) - gamma  # natural-gradient direction (exact row consts)
+
     rowelbo_ref[:, :] = jnp.sum(w * (logL - gamma), axis=1, keepdims=True)
     _acc_add(norm_ref, jnp.sum(w * s * s))
 
 
-def _update_kernel(
-    beta_ref,  # (1,1) SMEM scalar: Fletcher-Reeves coefficient
-    logL_ref,
-    gamma_ref,
-    gprev_ref,  # previous gamma: d = gamma - gamma_prev + r
-    counts_ref,
-    psi_ref,
-    lse1_ref,
-    rowelbo_ref,
-    r_ref,  # (E,1) lse-shift carried from the previous update
-    gnew_ref,
-    rnew_ref,
-    colsum_ref,
-    elbo_ref,
-):
+def _update_kernel(cn_ref, logL_ref, counts_ref, vn_ref, rowelbo_ref,
+                   colsum_ref, elbo_ref):
     @pl.when(pl.program_id(0) == 0)
     def _():
         colsum_ref[:, :] = jnp.zeros_like(colsum_ref)
         elbo_ref[:, :] = jnp.zeros_like(elbo_ref)
 
     logL = logL_ref[:]
-    gamma = gamma_ref[:]
-    t = logL + psi_ref[:]
-    d = (gamma - gprev_ref[:]) + r_ref[:]
-    u = t + beta_ref[0, 0] * d
+    g_new, num, denom = _masked_softmax(logL, cn_ref[0, 0], vn_ref[:])  # exp 3
+    w_new = counts_ref[:] * (num / denom)
 
-    # rownorm(gamma + d_new) == u - lse(u): the lse1 shift cancels.
-    m2 = jnp.max(u, axis=1, keepdims=True)
-    e2 = jnp.exp(u - m2)  # exp sweep 3 — reused for the weights below
-    s2 = jnp.sum(e2, axis=1, keepdims=True)
-    logs2 = jnp.log(s2)
-    g_new = (u - m2) - logs2
-    # d_new = (u - lse1) - gamma = (g_new - gamma) + r_new:
-    rnew_ref[:, :] = (m2 + logs2) - lse1_ref[:]
-
-    c = counts_ref[:]
-    w_new = (c / s2) * e2  # == c * exp(g_new), no extra exp sweep
-
-    gnew_ref[:] = g_new
     _acc_add(colsum_ref, jnp.sum(w_new, axis=0, keepdims=True))
     row_new = jnp.sum(w_new * (logL - g_new), axis=1, keepdims=True)
     _acc_add(elbo_ref, jnp.sum(row_new - rowelbo_ref[:]))
@@ -169,88 +172,95 @@ def _vec_spec(be):
     return pl.BlockSpec((be, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
 
+def _row_spec(G):
+    return pl.BlockSpec((1, G), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+
+def _smem_spec():
+    return pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+
 def _acc_spec(rows, cols):
     """Constant-index accumulator block resident in VMEM for all steps."""
     return pl.BlockSpec((rows, cols), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def rcg_norm(logL, gamma, counts2d, psi, *, interpret: bool = False):
-    """Returns (newnorm scalar f32, lse1 (E,1) f32, rowelbo_old (E,1) f32)."""
+def rcg_norm(logL, counts2d, psi, c, v, *, interpret: bool = False):
+    """Pass 1: metric norm of the natural gradient at gamma = (c, v).
+
+    Returns (newnorm scalar f32, rowelbo_old (E,1) f32).  rowelbo_old is
+    the per-row OLD ELBO data term, consumed by rcg_update's differencing.
+    """
     E, G = logL.shape
-    be = _pick_block_e(E, G)  # 512KB blocks measured fastest on v5e
+    be = _pick_block_e(E, G)
+    c2d = jnp.asarray(c, jnp.float32).reshape(1, 1)
     # x64 mode turns index-map literals into i64 scalars, which the
     # Mosaic lowering cannot legalize; kernels are pure f32/i32.
     with jax.enable_x64(False):
-        norm, lse1, rowelbo = pl.pallas_call(
+        norm, rowelbo = pl.pallas_call(
             _norm_kernel,
             grid=(E // be,),
             in_specs=[
-                _mat_spec(be, G),
+                _smem_spec(),
                 _mat_spec(be, G),
                 _vec_spec(be),
-                pl.BlockSpec((1, G), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                _row_spec(G),
+                _row_spec(G),
             ],
-            out_specs=[_acc_spec(8, 128), _vec_spec(be), _vec_spec(be)],
+            out_specs=[_acc_spec(8, 128), _vec_spec(be)],
             out_shape=[
                 jax.ShapeDtypeStruct((8, 128), jnp.float32),
                 jax.ShapeDtypeStruct((E, 1), jnp.float32),
-                jax.ShapeDtypeStruct((E, 1), jnp.float32),
             ],
             interpret=interpret,
-        )(logL, gamma, counts2d, psi)
-    return norm[0, 0], lse1, rowelbo
+        )(c2d, logL, counts2d, psi, v)
+    return norm[0, 0], rowelbo
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def rcg_update(logL, gamma, gprev, counts2d, psi, lse1, rowelbo, r, beta, *, interpret: bool = False):
-    """Apply the conjugate step.
+def rcg_update(logL, counts2d, c_new, v_new, rowelbo, *, interpret: bool = False):
+    """Pass 2: sufficient statistics of the stepped gamma' = (c_new, v_new).
 
-    Returns (gamma_new, r_new (E,1), colsum (G,) f32, elbo_delta scalar
-    f32) where elbo_delta is already the data-term CHANGE vs the
-    pre-step state (row-level differencing against pass 1's per-row
-    sums).  The caller's next state is (gamma_new, gamma, r_new): the
-    old gamma becomes gamma_prev with no copy.
+    Returns (colsum (G,) f32, elbo_delta scalar f32) where colsum =
+    sum_e counts_e exp(gamma'_e) (the N update / final abundances) and
+    elbo_delta is the data-term CHANGE vs the (c, v) state (row-level
+    differencing against pass 1's per-row sums).  gamma' itself is never
+    written — the caller carries only (c_new, v_new).
     """
     E, G = logL.shape
-    be = _pick_block_e(E, G)  # 512KB blocks measured fastest on v5e
-    beta2d = jnp.asarray(beta, jnp.float32).reshape(1, 1)
+    be = _pick_block_e(E, G)
+    cn2d = jnp.asarray(c_new, jnp.float32).reshape(1, 1)
     with jax.enable_x64(False):
-        gamma_new, r_new, colsum, elbo = pl.pallas_call(
+        colsum, elbo = pl.pallas_call(
             _update_kernel,
             grid=(E // be,),
-            # gamma' overwrites gamma_prev in place (that buffer is dead
-            # after this kernel: the state ping-pongs between the two
-            # gamma buffers), and r' overwrites r.  Declaring the alias
-            # lets donated state buffers thread through with ZERO copies
-            # — XLA's own donation pass was inserting full-matrix copies
-            # (~7 ms/iter at E=2^19) when left to infer reuse; when the
-            # caller still needs gamma_prev (the exact step's revert
-            # cond), jax inserts the preserving copy automatically.
-            input_output_aliases={3: 0, 8: 1},
             in_specs=[
-                pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-                _mat_spec(be, G),
-                _mat_spec(be, G),
+                _smem_spec(),
                 _mat_spec(be, G),
                 _vec_spec(be),
-                pl.BlockSpec((1, G), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                _vec_spec(be),
-                _vec_spec(be),
+                _row_spec(G),
                 _vec_spec(be),
             ],
-            out_specs=[
-                _mat_spec(be, G),
-                _vec_spec(be),
-                _acc_spec(8, G),
-                _acc_spec(8, 128),
-            ],
+            out_specs=[_acc_spec(8, G), _acc_spec(8, 128)],
             out_shape=[
-                jax.ShapeDtypeStruct((E, G), jnp.float32),
-                jax.ShapeDtypeStruct((E, 1), jnp.float32),
                 jax.ShapeDtypeStruct((8, G), jnp.float32),
                 jax.ShapeDtypeStruct((8, 128), jnp.float32),
             ],
             interpret=interpret,
-        )(beta2d, logL, gamma, gprev, counts2d, psi, lse1, rowelbo, r)
-    return gamma_new, r_new, colsum[0, :], elbo[0, 0]
+        )(cn2d, logL, counts2d, v_new, rowelbo)
+    return colsum[0, :], elbo[0, 0]
+
+
+@jax.jit
+def materialize_gamma(logL, c, v):
+    """gamma = rownorm(masked affine map) — one XLA pass, used once after
+    convergence when the caller needs the full (E, G) log-probabilities
+    (probs output, binning, RATE).  Under GSPMD with an EC-sharded logL
+    this is shard-local (rows are complete per shard)."""
+    c = jnp.asarray(c, logL.dtype)
+    v = jnp.asarray(v, logL.dtype)
+    ghat = jnp.where(logL <= PAD_THRESHOLD, logL, c * logL + v[None, :])
+    m = jnp.max(ghat, axis=1, keepdims=True)
+    lse = m + jnp.log(jnp.sum(jnp.exp(ghat - m), axis=1, keepdims=True))
+    return ghat - lse

@@ -1,8 +1,9 @@
 """Fused Pallas rcg kernels vs the XLA step (interpret mode on CPU).
 
-The Pallas path (ops/rcg_pallas.py) must produce the same trajectory as
-the reference XLA implementation — same gamma, bound, iteration count —
-because the CLI picks it automatically on TPU hardware.
+The Pallas path (ops/rcg_pallas.py) carries gamma IMPLICITLY as
+(c, v) with gamma = rownorm(c*logL + v) — it must reproduce the explicit
+XLA implementation's trajectory (same gamma, bound, iteration count to
+f32 round-off) because the CLI picks it automatically on TPU hardware.
 """
 
 import numpy as np
@@ -10,7 +11,12 @@ import jax
 import jax.numpy as jnp
 
 from msweep_tpu.inference.mixture import bound_const
-from msweep_tpu.inference.rcg import _fit_rcg_arrays, _rcg_chunk, _rcg_init
+from msweep_tpu.inference.rcg import (
+    _fit_rcg_arrays,
+    _rcg_chunk,
+    _rcg_init,
+    _rcg_init_implicit,
+)
 from msweep_tpu.ops import rcg_pallas
 
 
@@ -36,13 +42,30 @@ def test_supports_gate():
     assert not rcg_pallas.supports(jnp.zeros((64, 8192), jnp.float32))  # G too wide
 
 
+def test_implicit_init_matches_explicit():
+    logL, counts, alpha, bc = _problem()
+    st_x = _rcg_init(logL, counts, alpha, bc)
+    st_i = _rcg_init_implicit(logL, counts, alpha, bc)
+    # (c, v) = (0, 0) must materialize to the explicit gamma_0.
+    g0 = rcg_pallas.materialize_gamma(logL, st_i.c.astype(jnp.float32),
+                                      st_i.v.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(st_x.gamma),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(float(st_i.bound), float(st_x.bound), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_i.n_counts),
+                               np.asarray(st_x.n_counts), rtol=1e-12)
+
+
 def test_pallas_step_matches_xla_step():
     logL, counts, alpha, bc = _problem()
-    st0 = _rcg_init(logL, counts, alpha, bc)
     kw = dict(length=5, tol=1e-6)
-    st_x, _ = _rcg_chunk(st0, logL, counts, alpha, impl="xla", **kw)
-    st_p, _ = _rcg_chunk(st0, logL, counts, alpha, impl="pallas_interpret", **kw)
-    np.testing.assert_allclose(np.asarray(st_p.gamma), np.asarray(st_x.gamma), rtol=0, atol=2e-5)
+    st_x, _ = _rcg_chunk(_rcg_init(logL, counts, alpha, bc),
+                         logL, counts, alpha, impl="xla", **kw)
+    st_p, _ = _rcg_chunk(_rcg_init_implicit(logL, counts, alpha, bc),
+                         logL, counts, alpha, impl="pallas_interpret", **kw)
+    g_p = rcg_pallas.materialize_gamma(logL, st_p.c.astype(jnp.float32),
+                                       st_p.v.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(st_x.gamma), rtol=0, atol=2e-5)
     # f32 partials are grouped differently (row sums vs block sums), so
     # the f64 totals agree only to f32 round-off of the partials.
     np.testing.assert_allclose(float(st_p.bound), float(st_x.bound), rtol=1e-6)
@@ -60,7 +83,9 @@ def test_pallas_full_fit_matches_xla():
     # exact stopping iteration may differ by a few steps; the converged
     # bound and abundances must still agree.
     assert abs(int(it_p) - int(it_x)) <= max(5, int(it_x) // 10)
-    np.testing.assert_allclose(float(b_p), float(b_x), rtol=1e-8)
+    # Implicit gamma is RECOMPUTED as c*logL + v each pass, so its f32
+    # rounding differs from a carried buffer's by O(eps) per iteration.
+    np.testing.assert_allclose(float(b_p), float(b_x), rtol=2e-7)
     # f32 round-off compounds over ~hundreds of CG iterations, so the two
     # trajectories agree to optimizer tolerance, not machine eps: compare
     # the normalized abundances.
@@ -69,6 +94,23 @@ def test_pallas_full_fit_matches_xla():
     theta_x = theta_x / theta_x.sum()
     theta_p = theta_p / theta_p.sum()
     np.testing.assert_allclose(theta_p, theta_x, rtol=5e-3, atol=1e-6)
+
+
+def test_pallas_revert_at_numerical_floor():
+    # tol=0 can never satisfy 0 <= delta < tol, so the fit runs to the
+    # numerical floor where the bound DECREASES — exercising the implicit
+    # path's O(G)-state revert + momentum-reset cond.  It must terminate
+    # (decrease after a pure-VB step => done) with a bound matching the
+    # explicit path's floor.
+    logL, counts, alpha, bc = _problem(E=64, G=128, seed=13)
+    kw = dict(tol=0.0, max_iters=300, verbose=False, chunk=8)
+    g_x, it_x, b_x = _fit_rcg_arrays(logL, counts, alpha, bc, impl="xla", **kw)
+    g_p, it_p, b_p = _fit_rcg_arrays(logL, counts, alpha, bc, impl="pallas_interpret", **kw)
+    assert int(it_x) < 300, "expected the explicit path to hit the floor and stop"
+    assert int(it_p) < 300, "expected the implicit path to hit the floor and stop"
+    np.testing.assert_allclose(float(b_p), float(b_x), rtol=1e-6)
+    np.testing.assert_allclose(np.exp(np.asarray(g_p)), np.exp(np.asarray(g_x)),
+                               rtol=0, atol=1e-4)
 
 
 def test_pallas_padding_inert():
@@ -160,34 +202,6 @@ def test_pallas_sharded_matches_single():
     np.testing.assert_allclose(
         np.exp(np.asarray(g1)), np.exp(np.asarray(g0)), rtol=0, atol=1e-4
     )
-
-
-def test_optimistic_matches_exact_fit():
-    # The optimistic host driver (always-accept chunks + event replay)
-    # must reproduce the exact cond-ful path: same iteration count, same
-    # bound, same trajectory.
-    logL, counts, alpha, bc = _problem(E=128, G=256, seed=7)
-    kw = dict(tol=1e-6, max_iters=200, verbose=False, chunk=8)
-    g_e, it_e, b_e = _fit_rcg_arrays(logL, counts, alpha, bc, impl="pallas_interpret", **kw)
-    g_o, it_o, b_o = _fit_rcg_arrays(logL, counts, alpha, bc, impl="pallas_opt_interpret", **kw)
-    assert int(it_o) == int(it_e)
-    np.testing.assert_allclose(float(b_o), float(b_e), rtol=1e-12)
-    np.testing.assert_allclose(np.asarray(g_o), np.asarray(g_e), rtol=0, atol=1e-6)
-
-
-def test_optimistic_revert_replay():
-    # tol=0 can never satisfy 0 <= delta < tol, so the fit runs to the
-    # numerical floor where the bound DECREASES — exercising the revert
-    # event -> snapshot restore -> exact-tail replay machinery.  The
-    # optimistic path must still terminate identically to the exact path.
-    logL, counts, alpha, bc = _problem(E=64, G=128, seed=13)
-    kw = dict(tol=0.0, max_iters=300, verbose=False, chunk=8)
-    g_e, it_e, b_e = _fit_rcg_arrays(logL, counts, alpha, bc, impl="pallas_interpret", **kw)
-    g_o, it_o, b_o = _fit_rcg_arrays(logL, counts, alpha, bc, impl="pallas_opt_interpret", **kw)
-    assert int(it_e) < 300, "expected the exact path to hit the floor and stop"
-    assert int(it_o) == int(it_e)
-    np.testing.assert_allclose(float(b_o), float(b_e), rtol=1e-12)
-    np.testing.assert_allclose(np.asarray(g_o), np.asarray(g_e), rtol=0, atol=1e-6)
 
 
 def test_em_pallas_sharded_matches_single():

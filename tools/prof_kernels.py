@@ -4,6 +4,16 @@ Chained (data-dependent) reps so async dispatch cannot hide device time.
 
 v5e roofline: 819 GB/s HBM.  6 traffics x 1 GiB (E=2^19, G=512, f32)
 => 7.9 ms/iter floor => 34 G cells/s ceiling.
+
+Microbenches (WHICH env, comma-sep):
+  dispatch  per-jit-call overhead (tiny op, chained, sync every rep)
+  dispatch_async  same but only one final sync (pipelined dispatch rate)
+  copy      read+write streaming bandwidth ceiling
+  exp       read + exp + rowsum: one exp sweep at streaming rate
+  exp2      read + two exp sweeps (max/exp/sum twice)
+  norm      current rcg pass 1
+  update    current rcg pass 2
+  full      full optimistic rcg step (both passes + scalar glue)
 """
 
 import os
@@ -25,7 +35,9 @@ from jax.experimental.pallas import tpu as pltpu
 E = int(os.environ.get("E", 1 << 19))
 G = int(os.environ.get("G", 512))
 REPS = int(os.environ.get("REPS", 20))
-WHICH = os.environ.get("WHICH", "copy,norm,update,full").split(",")
+WHICH = os.environ.get(
+    "WHICH", "dispatch,dispatch_async,copy,exp,exp2,norm,update,full"
+).split(",")
 
 print(f"backend={jax.default_backend()} E={E} G={G} reps={REPS}", file=sys.stderr)
 
@@ -40,10 +52,41 @@ psi = jnp.zeros((1, G), jnp.float32)
 from msweep_tpu.ops import rcg_pallas
 
 GIB = E * G * 4 / 1e9
+BE = int(os.environ.get("BE", 0)) or rcg_pallas._pick_block_e(E, G)
 
 
 def report(name, dt, traffics):
-    print(f"{name:28s} {dt*1e3:8.3f} ms   {traffics*GIB/dt:6.1f} GB/s   ({traffics} traffics)")
+    print(
+        f"{name:28s} {dt*1e3:8.3f} ms   {traffics*GIB/dt:6.1f} GB/s   "
+        f"({traffics} traffics, {E*G/dt/1e9:.1f} G cells/s)"
+    )
+
+
+def _mat(be):
+    return pl.BlockSpec((be, G), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+
+def _vec(be):
+    return pl.BlockSpec((be, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+
+def bench_dispatch(sync_each=True):
+    @jax.jit
+    def run(x):
+        return x + 1.0
+
+    x = jnp.zeros((8, 128), jnp.float32)
+    x = run(x)
+    jax.block_until_ready(x)
+    t0 = time.perf_counter()
+    for _ in range(REPS * 5):
+        x = run(x)
+        if sync_each:
+            jax.block_until_ready(x)
+    jax.block_until_ready(x)
+    dt = (time.perf_counter() - t0) / (REPS * 5)
+    tag = "sync-each" if sync_each else "async-chain"
+    print(f"dispatch {tag:18s} {dt*1e3:8.3f} ms/call")
 
 
 def _copy_kernel(x_ref, o_ref):
@@ -51,13 +94,11 @@ def _copy_kernel(x_ref, o_ref):
 
 
 def bench_copy(be):
-    spec = pl.BlockSpec((be, G), lambda i: (i, 0), memory_space=pltpu.VMEM)
-
     @partial(jax.jit, donate_argnums=(0,))
     def run(x):
         with jax.enable_x64(False):
             return pl.pallas_call(
-                _copy_kernel, grid=(E // be,), in_specs=[spec], out_specs=spec,
+                _copy_kernel, grid=(E // be,), in_specs=[_mat(be)], out_specs=_mat(be),
                 out_shape=jax.ShapeDtypeStruct((E, G), jnp.float32),
                 input_output_aliases={0: 0},
             )(x)
@@ -70,6 +111,50 @@ def bench_copy(be):
         x = run(x)
     jax.block_until_ready(x)
     report(f"copy be={be}", (time.perf_counter() - t0) / REPS, 2)
+
+
+def _exp_kernel(x_ref, s_ref, o_ref):
+    t = x_ref[:] + s_ref[0, 0]
+    m = jnp.max(t, axis=1, keepdims=True)
+    e = jnp.exp(t - m)
+    o_ref[:, :] = m + jnp.log(jnp.sum(e, axis=1, keepdims=True))
+
+
+def _exp2_kernel(x_ref, s_ref, o_ref):
+    x = x_ref[:]
+    t = x + s_ref[0, 0]
+    m = jnp.max(t, axis=1, keepdims=True)
+    e = jnp.exp(t - m)
+    lse = m + jnp.log(jnp.sum(e, axis=1, keepdims=True))
+    t2 = 0.5 * x + s_ref[0, 0] * 2.0
+    m2 = jnp.max(t2, axis=1, keepdims=True)
+    e2 = jnp.exp(t2 - m2)
+    lse2 = m2 + jnp.log(jnp.sum(e2, axis=1, keepdims=True))
+    o_ref[:, :] = lse + lse2
+
+
+def _bench_exp(kernel, name, be):
+    smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+    @jax.jit
+    def run(s):
+        with jax.enable_x64(False):
+            out = pl.pallas_call(
+                kernel, grid=(E // be,), in_specs=[_mat(be), smem],
+                out_specs=_vec(be),
+                out_shape=jax.ShapeDtypeStruct((E, 1), jnp.float32),
+            )(logL, s)
+        return out[0]  # chain on a scalar
+
+    s = jnp.zeros((1, 1), jnp.float32)
+    r = run(s)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        s = r.reshape(1, 1) * 0
+        r = run(s)
+    jax.block_until_ready(r)
+    report(f"{name} be={be}", (time.perf_counter() - t0) / REPS, 1)
 
 
 def bench_norm():
@@ -110,28 +195,47 @@ def bench_update(lse1, rowelbo):
 
 def bench_full():
     from msweep_tpu.inference.mixture import bound_const
-    from msweep_tpu.inference.rcg import _rcg_init, _rcg_opt_step_donate, _rcg_opt_step_fresh
+    from msweep_tpu.inference.rcg import (
+        _rcg_init, _rcg_opt_flat_donate, _rcg_opt_flat_fresh,
+    )
 
     counts = jnp.ones((E,), jnp.float32)
     alpha = jnp.ones((G,), jnp.float64)
     bc = bound_const(np.ones(E), np.ones(G))
-    state = _rcg_init(logL, counts, alpha, bc)
+    st = _rcg_init(logL, counts, alpha, bc)
     hist = jnp.zeros((REPS + 1,), jnp.float64)
-    it0 = state.it
-    state, hist = _rcg_opt_step_fresh(state, hist, it0, logL, counts, alpha, mesh=None, interpret=False)
-    jax.block_until_ready(state.gamma)
+    it0 = st.it + 0
+    gamma, gprev, r = st.gamma, st.d, st.r
+    n_counts, oldnorm, itc, bound = st.n_counts, st.oldnorm, st.it, st.bound
+    gamma_new, r, n_counts, oldnorm, itc, bound, hist = _rcg_opt_flat_fresh(
+        gamma, gprev, r, n_counts, oldnorm, itc, bound, hist, it0,
+        logL, counts, alpha, mesh=None, interpret=False,
+    )
+    gprev, gamma = gamma, gamma_new
+    jax.block_until_ready(gamma)
     t0 = time.perf_counter()
     for _ in range(REPS):
-        state, hist = _rcg_opt_step_donate(state, hist, it0, logL, counts, alpha, mesh=None, interpret=False)
-    jax.block_until_ready(state.gamma)
+        gamma_new, r, n_counts, oldnorm, itc, bound, hist = _rcg_opt_flat_donate(
+            gamma, gprev, r, n_counts, oldnorm, itc, bound, hist, it0,
+            logL, counts, alpha, mesh=None, interpret=False,
+        )
+        gprev, gamma = gamma, gamma_new
+    jax.block_until_ready(gamma)
     dt = (time.perf_counter() - t0) / REPS
     report("full opt step (donated)", dt, 6)
-    print(f"  = {E*G/dt/1e9:.2f} G cells/s")
 
 
+if "dispatch" in WHICH:
+    bench_dispatch(sync_each=True)
+if "dispatch_async" in WHICH:
+    bench_dispatch(sync_each=False)
 if "copy" in WHICH:
-    for be in [int(x) for x in os.environ.get("COPY_BE", "256").split(",") if x]:
+    for be in [int(x) for x in os.environ.get("COPY_BE", str(BE)).split(",") if x]:
         bench_copy(be)
+if "exp" in WHICH:
+    _bench_exp(_exp_kernel, "exp1+lse", BE)
+if "exp2" in WHICH:
+    _bench_exp(_exp2_kernel, "exp2+2lse", BE)
 if "norm" in WHICH or "update" in WHICH:
     lse1, rowelbo = bench_norm()
     if "update" in WHICH:
