@@ -11,8 +11,9 @@ else goes to stderr and to BENCH_DETAILS.json:
                         iterations + seconds (reference: 220 it / 43 s
                         on an A100, docs/gpubenchmarks.md:18)
   em_convergence        tol 1e-6, capped; iterations + seconds
-  rcg_reference_scale   E≈2.1M x G=512 (efaec-1 is ~2.3M ECs): largest
-                        power-of-two-ish E that fits 16 GB v5e HBM;
+  rcg_reference_scale   E=2.3M x G=512 (the efaec-1 scale): the FULL
+                        reference problem fits one v5e now that the
+                        implicit-gamma rcg keeps only logL on device;
                         OOM is caught and recorded as "spill"
   weak_scaling          (MSWEEP_BENCH_SUITE=full) 1/2/4/8-device CPU
                         mesh, E per device fixed: efficiency = it/s(n)
@@ -163,15 +164,18 @@ def bench_convergence(E, G, tol=1e-6):
 
 
 def bench_reference_scale(G, iters=10):
-    """efaec-1 scale (~2.3M ECs).  2.3M x 512 f32 needs ~14.5 GB for the
-    three live matrices alone — does not fit 16 GB v5e HBM with the init
-    temporaries, so the default is 2^21 (2.1M); OOM is caught + recorded."""
+    """efaec-1 scale (~2.3M ECs, docs/gpubenchmarks.md:13).  With the
+    implicit-gamma rcg the device working set is logL alone (2.3M x 512
+    f32 = 4.5 GiB; + one transient 4.5 GiB gamma materialization after
+    the fit), so the FULL problem fits a 16 GB v5e with headroom — the
+    reference's A100 run needed 27.9 GB.  E is a multiple of 8192 so the
+    kernels keep their preferred 2 MiB blocks."""
     import jax
     import jax.numpy as jnp
     from msweep_tpu.inference.mixture import bound_const
     from msweep_tpu.inference.rcg import _fit_rcg_arrays
 
-    E = int(os.environ.get("MSWEEP_BENCH_BIG_E", 1 << 21))
+    E = int(os.environ.get("MSWEEP_BENCH_BIG_E", 8192 * 281))  # 2,301,952
     try:
         logL, counts, alpha = _synthetic_problem(E, G, jnp.float32)
         bc = bound_const(np.asarray(counts, np.float64), np.ones(G))
@@ -188,11 +192,11 @@ def bench_reference_scale(G, iters=10):
         log(f"rcg_reference_scale: E={E} ({E/1e6:.2f}M ECs) G={G} "
             f"{iters} iters in {elapsed:.3f}s = {iters/elapsed:.2f} it/s, "
             f"{rate/1e9:.2f} G cell-updates/s "
-            f"(working set {3*E*G*4/2**30:.1f} GiB)")
+            f"(working set {E*G*4/2**30:.1f} GiB: logL only, implicit gamma)")
         DETAILS["rcg_reference_scale"] = {
             "E": E, "G": G, "iters": iters, "seconds": elapsed,
             "it_per_s": iters / elapsed, "cell_updates_per_s": rate,
-            "working_set_GiB": 3 * E * G * 4 / 2**30,
+            "working_set_GiB": E * G * 4 / 2**30,
         }
         del logL, counts, gamma
     except Exception as e:  # XlaRuntimeError OOM and friends

@@ -225,17 +225,6 @@ def _em_chunk(
     return state, hist
 
 
-@partial(jax.jit, static_argnames=("tol", "mesh"), donate_argnums=(0,))
-def _em_step_pallas_jit(state, logL, counts, alpha, *, tol: float, mesh=None):
-    """One fused-kernel EM iteration, host-dispatched (no scan — see
-    rcg._rcg_step_pallas_jit for why scan-of-pallas is avoided)."""
-    valid = _valid_mask(logL)
-    step = _make_step(tol, valid, "pallas", mesh)
-    return jax.lax.cond(
-        state.done, lambda s: s, lambda s: step(s, logL, counts, alpha), state
-    )
-
-
 @jax.jit
 def _em_final(logL, state):
     """Final responsibilities at the converged theta (the returned log
@@ -254,26 +243,14 @@ def _fit_em_arrays(logL, counts, alpha, *, tol, max_iters, verbose, chunk=16, im
     it = 0
     while it < max_iters:
         n = min(chunk, max_iters - it)
-        if impl == "pallas":
-            for _ in range(n):  # async dispatches; sync only at chunk end
-                was_done = bool(state.done) if verbose else False
-                state = _em_step_pallas_jit(
-                    state, logL, counts, alpha, tol=float(tol), mesh=kernel_mesh,
-                )
-                if verbose and not was_done:
-                    print(
-                        f"  iter {int(state.it)}  objective {float(state.objective)}",
-                        file=sys.stderr,
-                    )
-        else:
-            state, hist = _em_chunk(
-                state, logL, counts, alpha, length=n, tol=float(tol),
-                impl=impl, mesh=kernel_mesh,
-            )
-            if verbose:
-                _print_chunk_history(it, hist)
+        state, hist = _em_chunk(
+            state, logL, counts, alpha, length=n, tol=float(tol),
+            impl=impl, mesh=kernel_mesh,
+        )
+        if verbose:
+            _print_chunk_history(it, hist)
         it += n
-        if bool(state.done):
+        if tol >= 0 and bool(state.done):
             break
     logp = _em_final(logL, state)
     return logp, state.it, state.objective
