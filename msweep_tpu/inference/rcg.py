@@ -110,34 +110,19 @@ class RCGState(NamedTuple):
 class RCGImplicitState(NamedTuple):
     """Implicit-state ("pallas" impl): gamma = rownorm(c*logL + v), the
     direction d = e*logL + f modulo row constants (which never matter
-    for d — see ops/rcg_pallas.py).  Everything is O(G) except the
-    (E, 1) per-row data-term vector threaded between passes.
+    for d — see ops/rcg_pallas.py).  Everything is O(G)."""
 
-    One iteration is ONE fused streaming pass (ops/rcg_pallas.rcg_fused)
-    that evaluates a new point AND the natural-gradient norm at it for
-    the NEXT step's Fletcher-Reeves coefficient.  Because a revert may
-    reject the evaluated point, the state distinguishes the last
-    EVALUATED point (the row-differencing anchor: c/v, n_eval,
-    bound_eval, rowelbo) from the last ACCEPTED point (the optimizer's
-    actual iterate: c_acc/v_acc, n_acc, bound_acc)."""
-
-    c: jax.Array  # scalar (acc): last evaluated gamma's coefficient
-    v: jax.Array  # (G,) (acc): last evaluated gamma's vector part
+    c: jax.Array  # scalar (acc)
+    v: jax.Array  # (G,) (acc)
     e: jax.Array  # scalar (acc): direction coefficient
     f: jax.Array  # (G,) (acc): direction vector part
-    c_acc: jax.Array  # scalar (acc): last ACCEPTED gamma
-    v_acc: jax.Array  # (G,) (acc)
-    n_eval: jax.Array  # (G,) (acc): N at last evaluated point
-    n_acc: jax.Array  # (G,) (acc): N at last accepted point
-    rowelbo: jax.Array  # (E, 1) f32: per-row data term at last evaluated point
-    norm_pending: jax.Array  # scalar (acc): ||stale nat-grad||^2 at last evaluated point
-    oldnorm: jax.Array  # scalar (acc): FR denominator
-    bound_eval: jax.Array  # scalar (acc): ELBO at last evaluated point
-    bound: jax.Array  # scalar (acc): ELBO at last ACCEPTED point
-    delta: jax.Array  # scalar (acc): last accepted improvement
+    n_counts: jax.Array  # (G,) (acc)
+    oldnorm: jax.Array  # scalar (acc)
+    bound: jax.Array  # scalar (acc)
+    delta: jax.Array  # scalar (acc)
     it: jax.Array  # int32
     done: jax.Array  # bool
-    just_reset: jax.Array  # bool: last evaluated point was rejected
+    just_reset: jax.Array  # bool
 
 
 def _rownorm(x):
@@ -240,117 +225,115 @@ def _make_step(tol: float):
 
 
 def _make_kernels(mesh, interpret):
-    """The fused single-pass kernel call for one implicit iteration.
+    """The fused-Pallas pair of passes for one implicit iteration.
 
-    With a mesh, the kernel call runs under shard_map over the "ec"
-    axis: each device runs the fused kernel on its EC shard and the
-    G-sized sufficient statistics (colsum, ELBO delta, gradient norm)
-    merge with psum over ICI — the TPU-native form of the reference's
+    With a mesh, the kernel calls run under shard_map over the "ec"
+    axis: each device runs the fused kernels on its EC shard and the
+    G-sized sufficient statistics (newnorm, colsum, ELBO delta) merge
+    with psum over ICI — the TPU-native form of the reference's
     MPI-allreduce design (docs/compilation.md:40-58).  rowelbo (the
-    per-row data term threaded between iterations) stays shard-local.
+    per-row old data term threaded from pass 1 to pass 2) stays
+    shard-local.
     """
     from ..ops import rcg_pallas
 
     acc = acc_dtype()
 
-    def fused_pass(logL, counts2d, psi, c, v, rowelbo_in):
-        colsum, elbo_f32, norm_f32, rowelbo = rcg_pallas.rcg_fused(
-            logL, counts2d, psi, c, v, rowelbo_in, interpret=interpret
+    def norm_pass(logL, counts2d, psi, c, v):
+        newnorm_f32, rowelbo = rcg_pallas.rcg_norm(
+            logL, counts2d, psi, c, v, interpret=interpret
+        )
+        newnorm = newnorm_f32.astype(acc)
+        if mesh is not None:
+            newnorm = jax.lax.psum(newnorm, "ec")
+        return newnorm, rowelbo
+
+    def update_pass(logL, counts2d, c_new, v_new, rowelbo):
+        colsum, elbo_f32 = rcg_pallas.rcg_update(
+            logL, counts2d, c_new, v_new, rowelbo, interpret=interpret
         )
         colsum = colsum.astype(acc)
         elbo_delta = elbo_f32.astype(acc)
-        norm = norm_f32.astype(acc)
         if mesh is not None:
             colsum = jax.lax.psum(colsum, "ec")
             elbo_delta = jax.lax.psum(elbo_delta, "ec")
-            norm = jax.lax.psum(norm, "ec")
-        return colsum, elbo_delta, norm, rowelbo
+        return colsum, elbo_delta
 
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
         from jax import shard_map
 
         ec = P("ec", None)
+        ecv = P("ec", None)
         rep = P()
-        fused_pass = shard_map(
-            fused_pass, mesh=mesh,
-            in_specs=(ec, ec, rep, rep, rep, ec),
-            out_specs=(rep, rep, rep, ec),
+        norm_pass = shard_map(
+            norm_pass, mesh=mesh,
+            in_specs=(ec, ecv, rep, rep, rep),
+            out_specs=(rep, ecv),
             check_vma=False,
         )
-    return fused_pass
+        update_pass = shard_map(
+            update_pass, mesh=mesh,
+            in_specs=(ec, ecv, rep, rep, ecv),
+            out_specs=(rep, rep),
+            check_vma=False,
+        )
+    return norm_pass, update_pass
 
 
 def _make_step_implicit(tol: float, interpret: bool, mesh=None):
-    """One implicit iteration: ONE streaming pass + O(G) coefficient
-    recursion (see ops/rcg_pallas.py for the derivation).
-
-    The pass evaluates the stepped point's sufficient statistics AND
-    the natural-gradient norm at it, which becomes the NEXT step's FR
-    numerator (one-step-stale psi in the norm only — the direction
-    itself always uses fresh psi via the affine glue recursion)."""
+    """One implicit iteration: two streaming passes + O(G) coefficient
+    recursion (see ops/rcg_pallas.py for the derivation)."""
     acc = acc_dtype()
-    fused_pass = _make_kernels(mesh, interpret)
+    norm_pass, update_pass = _make_kernels(mesh, interpret)
 
     def step(st: RCGImplicitState, logL, counts2d, alpha):
         dtype = logL.dtype
-        # Step FROM the last accepted point.  After a revert the
-        # evaluated (c, v, n_eval) belong to the rejected point, so the
-        # accepted copies take over (all O(G) selects).
-        c_from = jnp.where(st.just_reset, st.c_acc, st.c)
-        v_from = jnp.where(st.just_reset, st.v_acc, st.v)
-        n_from = jnp.where(st.just_reset, st.n_acc, st.n_eval)
-        psi = digamma(n_from)
+        psi = digamma(st.n_counts)
+        psi32 = psi.astype(dtype)[None, :]
+        c32 = st.c.astype(dtype)
+        v32 = st.v.astype(dtype)[None, :]
 
+        newnorm, rowelbo = norm_pass(logL, counts2d, psi32, c32, v32)
         beta = jnp.where(
             st.just_reset | (st.it == 0) | (st.oldnorm <= 0),
             jnp.zeros((), acc),
-            st.norm_pending / st.oldnorm,
+            newnorm / st.oldnorm,
         )
 
         # Affine direction recursion (exact-arithmetic equivalent of
         # d_new = s + beta*d; see ops/rcg_pallas.py module docstring).
-        e_new = (1.0 - c_from) + beta * st.e
-        f_new = (psi - v_from) + beta * st.f
-        c_new = c_from + e_new
-        v_new = v_from + f_new
+        e_new = (1.0 - st.c) + beta * st.e
+        f_new = (psi - st.v) + beta * st.f
+        c_new = st.c + e_new
+        v_new = st.v + f_new
 
-        colsum, elbo_delta, norm_new, rowelbo_new = fused_pass(
-            logL, counts2d, psi.astype(dtype)[None, :],
-            c_new.astype(dtype), v_new.astype(dtype)[None, :], st.rowelbo,
+        colsum, elbo_delta = update_pass(
+            logL, counts2d, c_new.astype(dtype), v_new.astype(dtype)[None, :],
+            rowelbo,
         )
         n_new = alpha.astype(acc) + colsum
-        # Telescoping is anchored at the last EVALUATED point (accepted
-        # or not): bound_eval always advances by the measured delta, and
-        # the accept decision compares against the accepted bound.
-        dirichlet_delta = jnp.sum(gammaln(n_new) - gammaln(st.n_eval))
-        bound_eval_new = st.bound_eval + elbo_delta + dirichlet_delta
-        delta = bound_eval_new - st.bound
+        dirichlet_delta = jnp.sum(gammaln(n_new) - gammaln(st.n_counts))
+        delta = elbo_delta + dirichlet_delta
+        bound_new = st.bound + delta
 
         decreased = delta < 0
         newly_done = _converged(tol, delta, decreased, st.just_reset)
 
-        # Accept/revert on O(G) state: effectively free.  On revert
-        # (e, f) keep stale values (just_reset forces beta=0 next step,
-        # so they are rewritten before being read), and oldnorm falls
-        # back to the rejected point's norm — at the numerical floor
-        # where reverts occur, the rejected point is within round-off of
-        # the accepted one, so the FR ratio is unaffected in practice.
-        (c_acc_o, v_acc_o, n_acc_o, bound_o, old_o, e_o, f_o, delta_o) = jax.lax.cond(
+        # Accept/revert on O(G) state: effectively free, unlike the
+        # explicit impl's full-matrix cond.  On revert (e, f) keep stale
+        # values — just_reset forces beta=0 next step, so they are
+        # rewritten before being read.
+        c_o, v_o, e_o, f_o, n_o, norm_o, bound_o, delta_o = jax.lax.cond(
             decreased,
-            lambda: (st.c_acc, st.v_acc, st.n_acc, st.bound,
-                     norm_new, st.e, st.f, st.delta),
-            lambda: (c_new, v_new, n_new, bound_eval_new,
-                     st.norm_pending, e_new, f_new, delta),
+            lambda: (st.c, st.v, st.e, st.f, st.n_counts,
+                     jnp.ones((), acc), st.bound, st.delta),
+            lambda: (c_new, v_new, e_new, f_new, n_new, newnorm, bound_new, delta),
         )
         return RCGImplicitState(
-            c=c_new, v=v_new, e=e_o, f=f_o,
-            c_acc=c_acc_o, v_acc=v_acc_o,
-            n_eval=n_new, n_acc=n_acc_o,
-            rowelbo=rowelbo_new,
-            norm_pending=norm_new, oldnorm=old_o,
-            bound_eval=bound_eval_new, bound=bound_o, delta=delta_o,
-            it=st.it + 1, done=st.done | newly_done, just_reset=decreased,
+            c=c_o, v=v_o, e=e_o, f=f_o, n_counts=n_o, oldnorm=norm_o,
+            bound=bound_o, delta=delta_o, it=st.it + 1,
+            done=st.done | newly_done, just_reset=decreased,
         )
 
     return step

@@ -79,18 +79,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ..utils import PAD_THRESHOLD
 
 # Every (block_e, G) f32 operand block must fit VMEM (~16 MB) with
-# double buffering.  2MB blocks measured fastest on v5e for the
-# implicit-gamma kernels (512KB: -7%; 4MB: VMEM OOM at compile) —
-# single-operand kernels want bigger blocks to amortize per-grid-step
-# overhead, unlike the round-2 three-operand kernels where 512KB won.
+# double buffering.  512KB blocks measured fastest on v5e across kernels
+# (2MB: ~-15%; 4MB: VMEM stack OOM) — the pipeline wants enough grid
+# steps in flight to hide DMA behind compute.
 _MAX_G = 4096
 
 
-def _pick_block_e(E: int, G: int, target_bytes: int | None = None) -> int:
-    if target_bytes is None:
-        import os
-
-        target_bytes = 1024 * int(os.environ.get("MSWEEP_PALLAS_BLOCK_KB", 2048))
+def _pick_block_e(E: int, G: int, target_bytes: int = 512 * 1024) -> int:
     target = max(8, target_bytes // (G * 4))
     be = 8  # E_pad is always a multiple of 8 (pack.SUBLANE)
     while be * 2 <= target and E % (be * 2) == 0:
@@ -105,16 +100,6 @@ def _acc_add(ref, value):
     ref[:, :] += jnp.broadcast_to(value, ref.shape)
 
 
-import os as _os
-
-_PROBE_NOMAX = _os.environ.get("MSWEEP_PALLAS_PROBE_NOMAX") == "1"  # perf probe only: WRONG results
-_PROBE_NOEXP = _os.environ.get("MSWEEP_PALLAS_PROBE_NOEXP") == "1"  # perf probe only: WRONG results
-
-
-def _exp(x):
-    return jnp.abs(x) + 1.0 if _PROBE_NOEXP else jnp.exp(x)
-
-
 def _masked_softmax(logL, chat, vhat):
     """Row softmax of the affine map ghat = chat*logL + vhat with the pad
     mask applied THROUGH logL itself (padded cells hold NEG and stay NEG).
@@ -127,46 +112,11 @@ def _masked_softmax(logL, chat, vhat):
     previous update pass produced from the same (c, v).
     """
     ghat = jnp.where(logL <= PAD_THRESHOLD, logL, chat * logL + vhat)
-    if _PROBE_NOMAX:
-        m = jnp.zeros_like(ghat[:, :1])
-    else:
-        m = jnp.max(ghat, axis=1, keepdims=True)
-    num = _exp(ghat - m)
+    m = jnp.max(ghat, axis=1, keepdims=True)
+    num = jnp.exp(ghat - m)
     denom = jnp.sum(num, axis=1, keepdims=True)
     gamma = (ghat - m) - jnp.log(denom)
     return gamma, num, denom
-
-
-def _fused_kernel(c_ref, logL_ref, counts_ref, psi_ref, v_ref, rowelbo_ref,
-                  colsum_ref, elbo_ref, norm_ref, rowelbo_out_ref):
-    """ONE pass for one whole iteration (see rcg_fused)."""
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        colsum_ref[:, :] = jnp.zeros_like(colsum_ref)
-        elbo_ref[:, :] = jnp.zeros_like(elbo_ref)
-        norm_ref[:, :] = jnp.zeros_like(norm_ref)
-
-    logL = logL_ref[:]
-    # The point being evaluated: gamma = rownorm(c*logL + v).
-    gamma, num, denom = _masked_softmax(logL, c_ref[0, 0], v_ref[:])  # exp 1
-    w = counts_ref[:] * (num / denom)  # == counts * exp(gamma)
-
-    # Sufficient statistics of this point.
-    _acc_add(colsum_ref, jnp.sum(w, axis=0, keepdims=True))
-    row_new = jnp.sum(w * (logL - gamma), axis=1, keepdims=True)
-    _acc_add(elbo_ref, jnp.sum(row_new - rowelbo_ref[:]))
-    rowelbo_out_ref[:, :] = row_new
-
-    # Norm of the (stale-psi) natural gradient AT this point, for the
-    # NEXT step's Fletcher-Reeves coefficient.
-    t = logL + psi_ref[:]
-    if _PROBE_NOMAX:
-        m1 = jnp.zeros_like(t[:, :1])
-    else:
-        m1 = jnp.max(t, axis=1, keepdims=True)
-    lse1 = m1 + jnp.log(jnp.sum(_exp(t - m1), axis=1, keepdims=True))  # exp 2
-    s = (t - lse1) - gamma
-    _acc_add(norm_ref, jnp.sum(w * s * s))
 
 
 def _norm_kernel(c_ref, logL_ref, counts_ref, psi_ref, v_ref,
@@ -177,11 +127,8 @@ def _norm_kernel(c_ref, logL_ref, counts_ref, psi_ref, v_ref,
 
     logL = logL_ref[:]
     t = logL + psi_ref[:]
-    if _PROBE_NOMAX:
-        m1 = jnp.zeros_like(t[:, :1])
-    else:
-        m1 = jnp.max(t, axis=1, keepdims=True)
-    lse1 = m1 + jnp.log(jnp.sum(_exp(t - m1), axis=1, keepdims=True))  # exp 1
+    m1 = jnp.max(t, axis=1, keepdims=True)
+    lse1 = m1 + jnp.log(jnp.sum(jnp.exp(t - m1), axis=1, keepdims=True))  # exp 1
 
     gamma, num, denom = _masked_softmax(logL, c_ref[0, 0], v_ref[:])  # exp 2
     w = counts_ref[:] * (num / denom)  # == counts * exp(gamma)
@@ -303,58 +250,6 @@ def rcg_update(logL, counts2d, c_new, v_new, rowelbo, *, interpret: bool = False
             interpret=interpret,
         )(cn2d, logL, counts2d, v_new, rowelbo)
     return colsum[0, :], elbo[0, 0]
-
-
-@partial(jax.jit, static_argnames=("interpret",))
-def rcg_fused(logL, counts2d, psi, c, v, rowelbo_in, *, interpret: bool = False):
-    """ONE streaming pass evaluating the stepped point gamma' = (c, v):
-
-      colsum     = sum_e counts_e exp(gamma'_e)            (the N update)
-      elbo_delta = data-term change vs the PREVIOUS evaluated point
-                   (row differencing against rowelbo_in)
-      norm       = ||rownorm(logL + psi) - gamma'||^2 in the counts*phi
-                   metric — the natural-gradient norm AT gamma' with the
-                   CURRENT psi, which the next iteration uses as its
-                   (one-step-stale) Fletcher-Reeves numerator
-      rowelbo    = per-row data term at gamma' (next call's rowelbo_in)
-
-    This is the whole rcg iteration in a single logL read (4 B/cell):
-    the FR coefficient beta_{k+1} = norm_k / norm_{k-1} uses psi one
-    step staler than the textbook two-pass formulation, a perturbation
-    of the momentum HEURISTIC only — the step direction itself uses
-    fresh psi (it is affine glue math), and the accept/revert guard in
-    inference/rcg.py enforces monotone ascent regardless of beta.
-    """
-    E, G = logL.shape
-    be = _pick_block_e(E, G)
-    c2d = jnp.asarray(c, jnp.float32).reshape(1, 1)
-    with jax.enable_x64(False):
-        colsum, elbo, norm, rowelbo = pl.pallas_call(
-            _fused_kernel,
-            grid=(E // be,),
-            in_specs=[
-                _smem_spec(),
-                _mat_spec(be, G),
-                _vec_spec(be),
-                _row_spec(G),
-                _row_spec(G),
-                _vec_spec(be),
-            ],
-            out_specs=[
-                _acc_spec(8, G),
-                _acc_spec(8, 128),
-                _acc_spec(8, 128),
-                _vec_spec(be),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((8, G), jnp.float32),
-                jax.ShapeDtypeStruct((8, 128), jnp.float32),
-                jax.ShapeDtypeStruct((8, 128), jnp.float32),
-                jax.ShapeDtypeStruct((E, 1), jnp.float32),
-            ],
-            interpret=interpret,
-        )(c2d, logL, counts2d, psi, v, rowelbo_in)
-    return colsum[0, :], elbo[0, 0], norm[0, 0], rowelbo
 
 
 @jax.jit
