@@ -136,23 +136,53 @@ def test_pallas_padding_inert():
     )
 
 
-def test_em_pallas_matches_xla():
-    from msweep_tpu.inference.em import _fit_em_arrays
+import pytest
 
-    logL, counts, alpha, _ = _problem(E=128, G=256, seed=5)
-    # tol must sit above the f32 noise floor of the objective (~1e-4 of
-    # its magnitude here) for the stopping iteration to be comparable.
+
+@pytest.mark.parametrize("E,G,seed", [(128, 256, 5), (512, 128, 11)])
+def test_em_pallas_matches_xla(E, G, seed):
+    """Cross-impl EM agreement (mirrors the rcg coverage above).
+
+    Tolerance rationale: the reference's own EM trajectory is
+    precision-sensitive (docs/gpubenchmarks.md:20-25 — float vs double
+    changes the iteration count from 5000-cap to 335), so impl-to-impl
+    we assert (a) objective agreement to ~f32 resolution of its
+    magnitude, (b) a bounded stopping-iteration gap (tol must sit above
+    the f32 noise floor for stopping to be comparable at all), and
+    (c) theta agreement to FILE precision — the reference writes
+    abundances with 6 significant digits (default ostream precision,
+    SURVEY.md section 9.10), so 1e-6 absolute on theta is what
+    "identical output" means.  Raw log-prob cells are NOT compared:
+    groups driven to theta=0 legitimately sit at NEG in one impl and
+    merely-very-negative values in the other.
+    """
+    from msweep_tpu.inference.em import _fit_em_arrays
+    from msweep_tpu.inference.mixture import mixture_components
+
+    logL, counts, alpha, _ = _problem(E=E, G=G, seed=seed)
     kw = dict(tol=1e-4, max_iters=500, verbose=False)
     g_x, it_x, o_x = _fit_em_arrays(logL, counts, alpha, impl="xla", **kw)
     g_p, it_p, o_p = _fit_em_arrays(logL, counts, alpha, impl="pallas_interpret", **kw)
     assert abs(int(it_p) - int(it_x)) <= max(5, int(it_x) // 10)
     # Different stopping iterations leave an O(tol) objective gap.
     np.testing.assert_allclose(float(o_p), float(o_x), rtol=1e-5)
-    # Compare probabilities, not log-probs: zero-probability entries sit
-    # at NEG in one impl and merely-very-negative values in the other.
+    # Compare probabilities, not log-probs (see docstring).
     np.testing.assert_allclose(
         np.exp(np.asarray(g_p)), np.exp(np.asarray(g_x)), rtol=0, atol=2e-3
     )
+    # theta to file precision: 6 significant digits of the written
+    # abundances; components are <= 1 so 1e-6 absolute covers it.  The
+    # comparison runs both impls the SAME number of iterations (bench
+    # mode) — at tol=1e-4 the two stop 1-2 iterations apart and carry an
+    # O(1e-4) theta gap that is stopping-rule noise, not impl
+    # disagreement (the reference itself documents trajectory
+    # sensitivity, docs/gpubenchmarks.md:20-25).
+    fixed = dict(tol=-1.0, max_iters=200, verbose=False, chunk=50)
+    g_x2, _, _ = _fit_em_arrays(logL, counts, alpha, impl="xla", **fixed)
+    g_p2, _, _ = _fit_em_arrays(logL, counts, alpha, impl="pallas_interpret", **fixed)
+    th_x = np.asarray(mixture_components(g_x2, counts))
+    th_p = np.asarray(mixture_components(g_p2, counts))
+    np.testing.assert_allclose(th_p, th_x, rtol=0, atol=1e-6)
 
 
 def test_em_deferred_delta_converges():

@@ -2,8 +2,10 @@
 
 Chained (data-dependent) reps so async dispatch cannot hide device time.
 
-v5e roofline: 819 GB/s HBM.  6 traffics x 1 GiB (E=2^19, G=512, f32)
-=> 7.9 ms/iter floor => 34 G cells/s ceiling.
+v5e roofline: 819 GB/s HBM.  The implicit-gamma step reads logL twice
+(2 traffics x 1 GiB at E=2^19, G=512, f32) => 2.6 ms/iter floor
+=> ~102 G cells/s ceiling; measured ~42 G (the three exp sweeps are
+compute-bound on the transcendental unit, not HBM-bound).
 
 Microbenches (WHICH env, comma-sep):
   dispatch  per-jit-call overhead (tiny op, chained, sync every rep)
@@ -11,9 +13,9 @@ Microbenches (WHICH env, comma-sep):
   copy      read+write streaming bandwidth ceiling
   exp       read + exp + rowsum: one exp sweep at streaming rate
   exp2      read + two exp sweeps (max/exp/sum twice)
-  norm      current rcg pass 1
-  update    current rcg pass 2
-  full      full optimistic rcg step (both passes + scalar glue)
+  norm      current rcg pass 1 (rcg_norm: grad norm + old row ELBO)
+  update    current rcg pass 2 (rcg_update: colsum + ELBO delta)
+  full      full implicit rcg iterations via the production scan chunk
 """
 
 import os
@@ -45,7 +47,6 @@ key = jax.random.PRNGKey(0)
 k1, k2, k3 = jax.random.split(key, 3)
 logL = jax.nn.log_softmax(jax.random.normal(k1, (E, G), jnp.float32) * 4.0, axis=1)
 gamma0 = jax.nn.log_softmax(jax.random.normal(k2, (E, G), jnp.float32), axis=1)
-gprev0 = jax.nn.log_softmax(jax.random.normal(k3, (E, G), jnp.float32), axis=1)
 counts2d = jnp.ones((E, 1), jnp.float32)
 psi = jnp.zeros((1, G), jnp.float32)
 
@@ -158,71 +159,68 @@ def _bench_exp(kernel, name, be):
 
 
 def bench_norm():
+    """Pass 1 of the implicit step: rcg_norm(logL, counts2d, psi, c, v).
+    Chained on the returned scalar so reps cannot overlap."""
+
     @jax.jit
-    def run(g):
-        nn, lse1, rowelbo = rcg_pallas.rcg_norm(logL, g, counts2d, psi)
-        return g + (nn * 0).astype(g.dtype), lse1, rowelbo
-
-    g = gamma0 + 0
-    g, lse1, rowelbo = run(g)
-    jax.block_until_ready(g)
-    t0 = time.perf_counter()
-    for _ in range(REPS):
-        g, lse1, rowelbo = run(g)
-    jax.block_until_ready(g)
-    # 2 kernel traffics + 2 for the chaining add
-    report("rcg_norm (+chain 2)", (time.perf_counter() - t0) / REPS, 4)
-    return lse1, rowelbo
-
-
-def bench_update(lse1, rowelbo):
-    @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def run(g, gp, r):
-        g2, r2, colsum, elbo = rcg_pallas.rcg_update(
-            logL, g, gp, counts2d, psi, lse1, rowelbo, r, jnp.float32(0.01)
+    def run(c):
+        nn, rowelbo = rcg_pallas.rcg_norm(
+            logL, counts2d, psi, c, jnp.zeros((1, G), jnp.float32)
         )
-        return g2, g, r2  # ping-pong: old gamma becomes gamma_prev
+        return nn * 0 + 1.0, rowelbo  # chain: next rep's c depends on nn
 
-    g, gp, r = gamma0 + 0, gprev0 + 0, jnp.zeros((E, 1), jnp.float32)
-    g, gp, r = run(g, gp, r)
-    jax.block_until_ready((g, gp))
+    c = jnp.float32(1.0)
+    c, rowelbo = run(c)
+    jax.block_until_ready(c)
     t0 = time.perf_counter()
     for _ in range(REPS):
-        g, gp, r = run(g, gp, r)
-    jax.block_until_ready((g, gp))
-    report("rcg_update donated", (time.perf_counter() - t0) / REPS, 4)
+        c, rowelbo = run(c)
+    jax.block_until_ready(c)
+    report("rcg_norm (pass 1)", (time.perf_counter() - t0) / REPS, 1)
+    return rowelbo
+
+
+def bench_update(rowelbo):
+    """Pass 2: rcg_update(logL, counts2d, c_new, v_new, rowelbo)."""
+
+    @jax.jit
+    def run(c):
+        colsum, elbo = rcg_pallas.rcg_update(
+            logL, counts2d, c, jnp.zeros((1, G), jnp.float32), rowelbo
+        )
+        return elbo * 0 + 1.0
+
+    c = jnp.float32(1.0)
+    c = run(c)
+    jax.block_until_ready(c)
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        c = run(c)
+    jax.block_until_ready(c)
+    report("rcg_update (pass 2)", (time.perf_counter() - t0) / REPS, 1)
 
 
 def bench_full():
+    """Full implicit iterations via the production scan chunk
+    (inference/rcg._rcg_chunk, impl='pallas'): 2 traffics/iter."""
     from msweep_tpu.inference.mixture import bound_const
-    from msweep_tpu.inference.rcg import (
-        _rcg_init, _rcg_opt_flat_donate, _rcg_opt_flat_fresh,
-    )
+    from msweep_tpu.inference.rcg import _rcg_chunk, _rcg_init_implicit
 
     counts = jnp.ones((E,), jnp.float32)
-    alpha = jnp.ones((G,), jnp.float64)
+    alpha = jnp.ones((G,), jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
     bc = bound_const(np.ones(E), np.ones(G))
-    st = _rcg_init(logL, counts, alpha, bc)
-    hist = jnp.zeros((REPS + 1,), jnp.float64)
-    it0 = st.it + 0
-    gamma, gprev, r = st.gamma, st.d, st.r
-    n_counts, oldnorm, itc, bound = st.n_counts, st.oldnorm, st.it, st.bound
-    gamma_new, r, n_counts, oldnorm, itc, bound, hist = _rcg_opt_flat_fresh(
-        gamma, gprev, r, n_counts, oldnorm, itc, bound, hist, it0,
-        logL, counts, alpha, mesh=None, interpret=False,
-    )
-    gprev, gamma = gamma, gamma_new
-    jax.block_until_ready(gamma)
+    st = _rcg_init_implicit(logL, counts, alpha, bc)
+    run = lambda s: _rcg_chunk(
+        s, logL, counts, alpha, length=REPS, tol=-1.0, impl="pallas"
+    )[0]
+    st = run(st)
+    jax.block_until_ready(st.bound)
+    st = _rcg_init_implicit(logL, counts, alpha, bc)
     t0 = time.perf_counter()
-    for _ in range(REPS):
-        gamma_new, r, n_counts, oldnorm, itc, bound, hist = _rcg_opt_flat_donate(
-            gamma, gprev, r, n_counts, oldnorm, itc, bound, hist, it0,
-            logL, counts, alpha, mesh=None, interpret=False,
-        )
-        gprev, gamma = gamma, gamma_new
-    jax.block_until_ready(gamma)
+    st = run(st)
+    jax.block_until_ready(st.bound)
     dt = (time.perf_counter() - t0) / REPS
-    report("full opt step (donated)", dt, 6)
+    report("full implicit step (scan)", dt, 2)
 
 
 if "dispatch" in WHICH:
@@ -237,8 +235,8 @@ if "exp" in WHICH:
 if "exp2" in WHICH:
     _bench_exp(_exp2_kernel, "exp2+2lse", BE)
 if "norm" in WHICH or "update" in WHICH:
-    lse1, rowelbo = bench_norm()
+    rowelbo = bench_norm()
     if "update" in WHICH:
-        bench_update(lse1, rowelbo)
+        bench_update(rowelbo)
 if "full" in WHICH:
     bench_full()
