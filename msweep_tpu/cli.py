@@ -444,14 +444,25 @@ def _run(args, alignment_paths: list[str], log: Log) -> int:
         # sharing one likelihood matrix (replaces the reference's serial
         # refit loop at src/mSWEEP.cpp:496-518).
         if bootstrap_mode:
-            if jax.process_count() > 1:
-                raise RuntimeError(
-                    "--iters (bootstrap) is not supported in multi-process "
-                    "distributed runs yet; run the bootstrap single-process"
-                )
             log(f"Running estimation with {args.iters} bootstrap iterations")
+            seed = args.seed
+            if jax.process_count() > 1:
+                # Every process must draw the SAME replicate batch (the
+                # reference's MPI-era design ran all estimation modes
+                # through the one rank-sharded path with root-only I/O,
+                # docs/compilation.md:40-58).  The sentinel seed means
+                # "random": root draws it and broadcasts.
+                from .core.sample import SEED_SENTINEL
+
+                if seed == SEED_SENTINEL:
+                    from jax.experimental import multihost_utils
+
+                    local = np.asarray(
+                        [np.random.default_rng().integers(0, 2**31 - 1)], np.int64
+                    )
+                    seed = int(multihost_utils.broadcast_one_to_all(local)[0])
             resampler = BootstrapResampler(
-                lik.ec_counts, bootstrap_count=args.bootstrap_count, seed=args.seed
+                lik.ec_counts, bootstrap_count=args.bootstrap_count, seed=seed
             )
             batch = resampler.resample_batch(args.iters)
             e_pad = problem.counts.shape[0]
@@ -464,13 +475,11 @@ def _run(args, alignment_paths: list[str], log: Log) -> int:
                 args.algorithm, args.algorithm
             )
             batch_fit = fit_rcg_batch if alg == "rcg" else fit_em_batch
-            gb, ib, _ = batch_fit(problem, batch_dev, tol=args.tol, max_iters=args.max_iters)
-            sample.bootstrap_results = [theta] + [
-                np.asarray(
-                    mixture_components(gb[k], batch_dev[k], problem.n_groups)
-                )
-                for k in range(args.iters)
-            ]
+            # Batch fits return abundances directly ((B, G_pad) theta):
+            # no (B, E, G) gamma batch is ever materialized.
+            tb, ib, _ = batch_fit(problem, batch_dev, tol=args.tol, max_iters=args.max_iters)
+            tb_host = np.asarray(tb)[:, : problem.n_groups]
+            sample.bootstrap_results = [theta] + [tb_host[k] for k in range(args.iters)]
 
         # Write relative abundances.
         stream = out.abundances()

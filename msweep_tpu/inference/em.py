@@ -284,7 +284,25 @@ def fit_em(
     )
 
 
+@jax.jit
+def _em_final_theta(logL, theta_b, counts_b):
+    """Batched abundances sum_e c_e p_eg / sum_e c_e at the converged
+    theta (rcgpar::mixture_components semantics, src/mSWEEP.cpp:420-423)
+    without materializing the (B, E, G) responsibility batch — the exp
+    fuses into the reduction."""
+
+    def one(theta, counts):
+        t, lse = _estep(logL, theta, logL.dtype)
+        w = jnp.sum(counts[:, None] * jnp.exp(t - lse[:, None]), axis=0)
+        return w.astype(acc_dtype()) / jnp.sum(counts).astype(acc_dtype())
+
+    return jax.vmap(one)(theta_b, counts_b)
+
+
 def fit_em_batch(problem: DeviceProblem, counts_batch, *, tol=1e-6, max_iters=5000, chunk=16):
+    """EM over a (B, E_pad) batch of count vectors sharing one logL.
+    Returns (theta (B, G_pad), iters (B,), objective (B,)) — matching
+    fit_rcg_batch's interface (abundances, not responsibilities)."""
     init = jax.vmap(lambda c: _em_init(problem.logL, c, problem.alpha))
     state = init(counts_batch)
     it = 0
@@ -298,5 +316,5 @@ def fit_em_batch(problem: DeviceProblem, counts_batch, *, tol=1e-6, max_iters=50
         it += n
         if bool(jnp.all(state.done)):
             break
-    logp = jax.vmap(lambda st: _em_final(problem.logL, st))(state)
-    return logp, state.it, state.objective
+    theta = _em_final_theta(problem.logL, state.theta, counts_batch)
+    return theta, state.it, state.objective

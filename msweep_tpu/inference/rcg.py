@@ -156,9 +156,10 @@ def _weighted_colsum(w_phi):
 def _converged(tol, delta, decreased, just_reset):
     """Converged: accepted step with 0 <= improvement < tol, or a pure
     VB step that still "decreased" (numerical floor).  tol < 0 is
-    bench mode: never converge."""
+    bench mode: never converge.  Shape-polymorphic: scalar for the
+    single fit, (B,) for the batched bootstrap fit."""
     if tol < 0:
-        return jnp.zeros((), bool)
+        return jnp.zeros(jnp.shape(delta), bool)
     return (~decreased & (delta < tol)) | (decreased & just_reset)
 
 
@@ -539,6 +540,185 @@ def fit_rcg(
     )
 
 
+# ---------------------------------------------------------------------------
+# Batched (bootstrap) fit: B count vectors over ONE logL stream.
+# ---------------------------------------------------------------------------
+
+
+def _make_kernels_batch(mesh, interpret):
+    """Batched twin of _make_kernels: per-shard batched kernel calls with
+    psum-merged (B,)/(B, G) sufficient statistics over the "ec" axis."""
+    from ..ops import rcg_pallas
+
+    acc = acc_dtype()
+
+    def norm_pass(logL, countsT, psi_b, c_b, v_b):
+        norm_f32, rowelbo = rcg_pallas.rcg_norm_batch(
+            logL, countsT, psi_b, c_b, v_b, interpret=interpret
+        )
+        newnorm = norm_f32.astype(acc)
+        if mesh is not None:
+            newnorm = jax.lax.psum(newnorm, "ec")
+        return newnorm, rowelbo
+
+    def update_pass(logL, countsT, c_new, v_new, rowelbo):
+        colsum, elbo_f32 = rcg_pallas.rcg_update_batch(
+            logL, countsT, c_new, v_new, rowelbo, interpret=interpret
+        )
+        colsum = colsum.astype(acc)
+        elbo_delta = elbo_f32.astype(acc)
+        if mesh is not None:
+            colsum = jax.lax.psum(colsum, "ec")
+            elbo_delta = jax.lax.psum(elbo_delta, "ec")
+        return colsum, elbo_delta
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        ec = P("ec", None)
+        rep = P()
+        norm_pass = shard_map(
+            norm_pass, mesh=mesh,
+            in_specs=(ec, ec, rep, rep, rep),
+            out_specs=(rep, ec),
+            check_vma=False,
+        )
+        update_pass = shard_map(
+            update_pass, mesh=mesh,
+            in_specs=(ec, ec, rep, rep, ec),
+            out_specs=(rep, rep),
+            check_vma=False,
+        )
+    return norm_pass, update_pass
+
+
+def _make_step_implicit_batch(tol: float, interpret: bool, mesh=None):
+    """Batched implicit iteration: all state fields carry a leading (B,)
+    replicate axis; accept/revert is per-replicate jnp.where (the revert
+    is no longer rare across a whole batch, and the state is O(B*G))."""
+    acc = acc_dtype()
+    norm_pass, update_pass = _make_kernels_batch(mesh, interpret)
+
+    def step(st: RCGImplicitState, logL, countsT, alpha):
+        dtype = logL.dtype
+        psi = digamma(st.n_counts)  # (B, G)
+
+        newnorm, rowelbo = norm_pass(
+            logL, countsT, psi.astype(dtype),
+            st.c.astype(dtype), st.v.astype(dtype),
+        )
+        beta = jnp.where(
+            st.just_reset | (st.it == 0) | (st.oldnorm <= 0),
+            jnp.zeros_like(newnorm),
+            newnorm / st.oldnorm,
+        )
+
+        e_new = (1.0 - st.c) + beta * st.e
+        f_new = (psi - st.v) + beta[:, None] * st.f
+        c_new = st.c + e_new
+        v_new = st.v + f_new
+
+        colsum, elbo_delta = update_pass(
+            logL, countsT, c_new.astype(dtype), v_new.astype(dtype), rowelbo
+        )
+        n_new = alpha[None, :].astype(acc) + colsum
+        dirichlet_delta = jnp.sum(gammaln(n_new) - gammaln(st.n_counts), axis=1)
+        delta = elbo_delta + dirichlet_delta
+        bound_new = st.bound + delta
+
+        decreased = delta < 0
+        newly_done = _converged(tol, delta, decreased, st.just_reset)
+
+        def rev(old, new):
+            m = decreased
+            while m.ndim < new.ndim:
+                m = m[..., None]
+            return jnp.where(m, old, new)
+
+        return RCGImplicitState(
+            c=rev(st.c, c_new), v=rev(st.v, v_new),
+            e=rev(st.e, e_new), f=rev(st.f, f_new),
+            n_counts=rev(st.n_counts, n_new),
+            oldnorm=jnp.where(decreased, jnp.ones_like(newnorm), newnorm),
+            bound=rev(st.bound, bound_new), delta=rev(st.delta, delta),
+            it=st.it + 1, done=st.done | newly_done, just_reset=decreased,
+        )
+
+    return step
+
+
+@jax.jit
+def _rcg_init_implicit_batch(logL, countsT, alpha, bound_const0, asum0, csum0):
+    """Init for B replicates with ONE pass over logL.
+
+    gamma_0 is counts-independent, so the per-replicate N_0 and data
+    terms are contractions of exp(gamma_0) against the (E, B) counts.
+    bound_const depends on each replicate's total count: shift the
+    host-exact scalar for the ORIGINAL counts (bound_const0, at
+    csum0 = sum counts, asum0 = sum unpadded alpha) by the lgamma ratio
+    — a constant offset per replicate, exact in the telescoped deltas.
+    """
+    acc = acc_dtype()
+    B = countsT.shape[1]
+    G = logL.shape[1]
+    init_logits = jnp.where(logL > jnp.asarray(PAD_THRESHOLD, logL.dtype), 0.0, logL)
+    gamma0 = _rownorm(init_logits)
+    phi0 = jnp.exp(gamma0)
+    colsum0 = jnp.einsum(
+        "eb,eg->bg", countsT, phi0, preferred_element_type=acc
+    )
+    n0 = alpha[None, :].astype(acc) + colsum0
+    rowdata = jnp.sum(phi0 * (logL - gamma0), axis=1)  # (E,)
+    data0 = jnp.einsum("eb,e->b", countsT, rowdata, preferred_element_type=acc)
+    csum_b = jnp.sum(countsT.astype(acc), axis=0)  # (B,)
+    a0 = jnp.asarray(asum0, acc)
+    bc_b = (
+        jnp.asarray(bound_const0, acc)
+        + gammaln(a0 + jnp.asarray(csum0, acc))
+        - gammaln(a0 + csum_b)
+    )
+    bound0 = bc_b + jnp.sum(gammaln(n0), axis=1) + data0
+    return RCGImplicitState(
+        c=jnp.zeros((B,), acc),
+        v=jnp.zeros((B, G), acc),
+        e=jnp.zeros((B,), acc),
+        f=jnp.zeros((B, G), acc),
+        n_counts=n0,
+        oldnorm=jnp.ones((B,), acc),
+        bound=bound0,
+        delta=jnp.full((B,), jnp.inf, acc),
+        it=jnp.zeros((B,), jnp.int32),
+        done=jnp.zeros((B,), bool),
+        just_reset=jnp.zeros((B,), bool),
+    )
+
+
+@partial(jax.jit, static_argnames=("length", "tol", "interpret", "mesh"))
+def _rcg_chunk_batch(
+    state, logL, countsT, alpha, *, length: int, tol: float,
+    interpret: bool = False, mesh=None,
+):
+    """length batched iterations as one on-device lax.scan; replicates
+    that converged freeze (per-replicate where, not cond — done is a
+    (B,) vector)."""
+    step = _make_step_implicit_batch(tol, interpret, mesh)
+
+    def body(st, _):
+        new = step(st, logL, countsT, alpha)
+
+        def keep(old, nw):
+            m = st.done
+            while m.ndim < nw.ndim:
+                m = m[..., None]
+            return jnp.where(m, old, nw)
+
+        return jax.tree.map(keep, st, new), None
+
+    state, _ = jax.lax.scan(body, state, None, length=length)
+    return state
+
+
 def fit_rcg_batch(
     problem: DeviceProblem,
     counts_batch,
@@ -546,14 +726,61 @@ def fit_rcg_batch(
     tol: float = 1e-6,
     max_iters: int = 5000,
     chunk: int = 16,
+    impl: str | None = None,
 ):
-    """vmapped rcg over a (B, E) batch of count vectors sharing one logL.
+    """rcg over a (B, E_pad) batch of count vectors sharing one logL.
 
     This is the TPU formulation of the reference's serial bootstrap loop
-    (src/mSWEEP.cpp:496-518): replicates advance in lockstep chunks; each
-    replicate freezes at its own convergence iteration, and the host
-    loop stops when all are done.
+    (src/mSWEEP.cpp:496-518, same likelihood matrix reused per
+    replicate): replicates advance in lockstep chunks; each replicate
+    freezes at its own convergence iteration, and the host loop stops
+    when all are done.
+
+    Returns (theta (B, G_pad), iters (B,), bound (B,)) — abundances
+    directly, NOT gamma: a (B, E, G) gamma batch would defeat the O(G)
+    state design at reference scale, and theta falls out of the
+    optimizer state as (N - alpha) / sum(counts)
+    (== rcgpar::mixture_components of the converged gamma,
+    src/mSWEEP.cpp:420, by definition of N).
+
+    impl None = auto: batched implicit Pallas kernels on TPU (one logL
+    stream for all B — with an "ec" mesh, shard_map + psum of the (B, G)
+    statistics); vmapped explicit XLA elsewhere.
     """
+    from .mixture import mixture_components
+
+    if impl is None:
+        impl = _pick_impl(problem.logL, problem.mesh)
+
+    if impl in ("pallas", "pallas_interpret"):
+        acc = acc_dtype()
+        logL = problem.logL
+        countsT = jnp.swapaxes(counts_batch, 0, 1).astype(logL.dtype)
+        mesh = problem.mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            countsT = jax.device_put(countsT, NamedSharding(mesh, P("ec", None)))
+        asum0 = float(jnp.sum(problem.alpha[: problem.n_groups]))
+        csum0 = float(jnp.sum(problem.counts))
+        state = _rcg_init_implicit_batch(
+            logL, countsT, problem.alpha, problem.bound_const, asum0, csum0
+        )
+        it = 0
+        while it < max_iters:
+            n = min(chunk, max_iters - it)
+            state = _rcg_chunk_batch(
+                state, logL, countsT, problem.alpha, length=n, tol=float(tol),
+                interpret=(impl == "pallas_interpret"), mesh=mesh,
+            )
+            it += n
+            if tol >= 0 and bool(jnp.all(state.done)):
+                break
+        csum_b = jnp.sum(countsT.astype(acc), axis=0)
+        theta = (state.n_counts - problem.alpha[None, :].astype(acc)) / csum_b[:, None]
+        return theta, state.it, state.bound
+
+    # XLA fallback: vmapped explicit step (CPU / f64 validation path).
     init = jax.vmap(lambda c: _rcg_init(problem.logL, c, problem.alpha, problem.bound_const))
     state = init(counts_batch)
     it = 0
@@ -567,4 +794,5 @@ def fit_rcg_batch(
         it += n
         if bool(jnp.all(state.done)):
             break
-    return state.gamma, state.it, state.bound
+    theta = jax.vmap(mixture_components)(state.gamma, counts_batch)
+    return theta, state.it, state.bound

@@ -252,6 +252,155 @@ def rcg_update(logL, counts2d, c_new, v_new, rowelbo, *, interpret: bool = False
     return colsum[0, :], elbo[0, 0]
 
 
+def _norm_batch_kernel(c_ref, logL_ref, countsT_ref, psi_ref, v_ref,
+                       norm_ref, rowelbo_ref):
+    """rcg_norm for replicate b = program_id(1) on E-block program_id(0).
+
+    The replicate axis is the MINOR grid dimension, so the logL block's
+    index map is constant across consecutive b steps and Pallas skips
+    its DMA: one iteration over B replicates still reads the matrix
+    exactly twice (norm + update), not 2B times — the whole point of
+    batching bootstrap replicates into the kernel (the reference reuses
+    one likelihood matrix across its serial refits the same way,
+    src/mSWEEP.cpp:496-518)."""
+    b = pl.program_id(1)
+
+    @pl.when((pl.program_id(0) == 0) & (b == 0))
+    def _():
+        norm_ref[:, :] = jnp.zeros_like(norm_ref)
+
+    logL = logL_ref[:]
+    t = logL + psi_ref[:]  # (1, G) block of replicate b broadcasts
+    m1 = jnp.max(t, axis=1, keepdims=True)
+    lse1 = m1 + jnp.log(jnp.sum(jnp.exp(t - m1), axis=1, keepdims=True))
+
+    gamma, num, denom = _masked_softmax(logL, c_ref[0, 0], v_ref[:])
+    w = countsT_ref[:] * (num / denom)  # (be, 1) counts of replicate b
+    s = (t - lse1) - gamma
+
+    rowelbo_ref[:, :] = jnp.sum(w * (logL - gamma), axis=1, keepdims=True)
+    # Accumulate into row b of the resident (B_pad, 128) accumulator.
+    # Masked add: dynamic-index stores into VMEM are not generally
+    # legal in the Mosaic lowering, and the mask is O(B_pad*128) work
+    # vs the block's O(be*G) softmax — noise.
+    mask = jax.lax.broadcasted_iota(jnp.int32, norm_ref.shape, 0) == b
+    norm_ref[:, :] += jnp.where(mask, jnp.sum(w * s * s), 0.0)
+
+
+def _update_batch_kernel(cn_ref, logL_ref, countsT_ref, vn_ref, rowelbo_ref,
+                         colsum_ref, elbo_ref):
+    b = pl.program_id(1)
+
+    @pl.when((pl.program_id(0) == 0) & (b == 0))
+    def _():
+        colsum_ref[:, :] = jnp.zeros_like(colsum_ref)
+        elbo_ref[:, :] = jnp.zeros_like(elbo_ref)
+
+    logL = logL_ref[:]
+    g_new, num, denom = _masked_softmax(logL, cn_ref[0, 0], vn_ref[:])
+    w_new = countsT_ref[:] * (num / denom)
+
+    maskc = jax.lax.broadcasted_iota(jnp.int32, colsum_ref.shape, 0) == b
+    colsum_ref[:, :] += jnp.where(maskc, jnp.sum(w_new, axis=0, keepdims=True), 0.0)
+    row_new = jnp.sum(w_new * (logL - g_new), axis=1, keepdims=True)
+    maske = jax.lax.broadcasted_iota(jnp.int32, elbo_ref.shape, 0) == b
+    elbo_ref[:, :] += jnp.where(maske, jnp.sum(row_new - rowelbo_ref[:]), 0.0)
+
+
+def _bpad(B: int) -> int:
+    return max(8, -(-B // 8) * 8)
+
+
+def _rep_mat_spec(be, G):
+    """logL under a (E//be, B) grid: block constant in b (DMA skipped)."""
+    return pl.BlockSpec((be, G), lambda i, b: (i, 0), memory_space=pltpu.VMEM)
+
+
+def _rep_col_spec(be):
+    """(E, B) operand: column b of E-block i."""
+    return pl.BlockSpec((be, 1), lambda i, b: (i, b), memory_space=pltpu.VMEM)
+
+
+def _rep_row_spec(G):
+    """(B, G) operand: row b, refetched per step (2 KB — pipelined)."""
+    return pl.BlockSpec((1, G), lambda i, b: (b, 0), memory_space=pltpu.VMEM)
+
+
+def _rep_smem_spec():
+    return pl.BlockSpec((1, 1), lambda i, b: (b, 0), memory_space=pltpu.SMEM)
+
+
+def _rep_acc_spec(rows, cols):
+    return pl.BlockSpec((rows, cols), lambda i, b: (0, 0), memory_space=pltpu.VMEM)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def rcg_norm_batch(logL, countsT, psi_b, c_b, v_b, *, interpret: bool = False):
+    """Batched pass 1 over B replicates sharing one logL stream.
+
+    logL (E, G); countsT (E, B) per-replicate resampled counts;
+    psi_b (B, G); c_b (B,); v_b (B, G).
+    Returns (norm (B,) f32, rowelbo (E, B) f32)."""
+    E, G = logL.shape
+    B = countsT.shape[1]
+    be = _pick_block_e(E, G)
+    bp = _bpad(B)
+    c2d = jnp.asarray(c_b, jnp.float32).reshape(B, 1)
+    with jax.enable_x64(False):
+        norm, rowelbo = pl.pallas_call(
+            _norm_batch_kernel,
+            grid=(E // be, B),
+            in_specs=[
+                _rep_smem_spec(),
+                _rep_mat_spec(be, G),
+                _rep_col_spec(be),
+                _rep_row_spec(G),
+                _rep_row_spec(G),
+            ],
+            out_specs=[_rep_acc_spec(bp, 128), _rep_col_spec(be)],
+            out_shape=[
+                jax.ShapeDtypeStruct((bp, 128), jnp.float32),
+                jax.ShapeDtypeStruct((E, B), jnp.float32),
+            ],
+            interpret=interpret,
+        )(c2d, logL, countsT, psi_b, v_b)
+    return norm[:B, 0], rowelbo
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def rcg_update_batch(logL, countsT, c_new, v_new, rowelbo, *, interpret: bool = False):
+    """Batched pass 2.  Returns (colsum (B, G) f32, elbo_delta (B,) f32).
+
+    colsum[b] = sum_e countsT[e, b] * exp(gamma'_b[e]) — the N update,
+    and (minus alpha) the unnormalized abundances, so bootstrap theta
+    comes straight from the optimizer state with no gamma
+    materialization."""
+    E, G = logL.shape
+    B = countsT.shape[1]
+    be = _pick_block_e(E, G)
+    bp = _bpad(B)
+    cn2d = jnp.asarray(c_new, jnp.float32).reshape(B, 1)
+    with jax.enable_x64(False):
+        colsum, elbo = pl.pallas_call(
+            _update_batch_kernel,
+            grid=(E // be, B),
+            in_specs=[
+                _rep_smem_spec(),
+                _rep_mat_spec(be, G),
+                _rep_col_spec(be),
+                _rep_row_spec(G),
+                _rep_col_spec(be),
+            ],
+            out_specs=[_rep_acc_spec(bp, G), _rep_acc_spec(bp, 128)],
+            out_shape=[
+                jax.ShapeDtypeStruct((bp, G), jnp.float32),
+                jax.ShapeDtypeStruct((bp, 128), jnp.float32),
+            ],
+            interpret=interpret,
+        )(cn2d, logL, countsT, v_new, rowelbo)
+    return colsum[:B, :], elbo[:B, 0]
+
+
 @jax.jit
 def materialize_gamma(logL, c, v):
     """gamma = rownorm(masked affine map) — one XLA pass, used once after

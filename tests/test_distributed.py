@@ -151,3 +151,59 @@ def test_missing_distributed_args_error(dataset, tmp_path):
     )
     assert r.returncode == 1
     assert "--distributed-nprocs" in r.stderr
+
+
+def _run_distributed_args(dataset, tmp_path, extra, nprocs=2, devices_per_proc=2,
+                          name="dist_bs"):
+    port = _free_port()
+    prefix = tmp_path / name
+    procs = []
+    for pid in range(nprocs):
+        cmd = _base_args(dataset, prefix) + extra + [
+            "--distributed-coordinator", f"localhost:{port}",
+            "--distributed-nprocs", str(nprocs),
+            "--distributed-process-id", str(pid),
+        ]
+        procs.append(
+            subprocess.Popen(
+                cmd, env=_cli_env(devices_per_proc),
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+        )
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (o, e) in zip(procs, outs):
+        assert p.returncode == 0, e
+    return prefix, outs
+
+
+def _read_bootstrap_rows(path):
+    rows = []
+    for line in open(path):
+        if line.startswith("#"):
+            continue
+        parts = line.rstrip("\n").split("\t")
+        rows.append((parts[0], np.array([float(x) for x in parts[1:]])))
+    return rows
+
+
+def test_two_process_bootstrap_matches_single(dataset, tmp_path):
+    """--iters (bootstrap) in a 2-process sharded run: the seed-pinned
+    replicate batch is process-count invariant (the restriction the
+    round-3 CLI raised on is lifted; reference MPI design ran every
+    estimation mode through the one rank-sharded path,
+    docs/compilation.md:40-58)."""
+    bs = ["--iters", "4", "--seed", "7"]
+    single_prefix = tmp_path / "single_bs"
+    r = subprocess.run(
+        _base_args(dataset, single_prefix) + bs + ["--shards", "1"],
+        env=_cli_env(1), capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    dist_prefix, outs = _run_distributed_args(dataset, tmp_path, bs)
+
+    rows_s = _read_bootstrap_rows(str(single_prefix) + "_abundances.txt")
+    rows_d = _read_bootstrap_rows(str(dist_prefix) + "_abundances.txt")
+    assert [r[0] for r in rows_s] == [r[0] for r in rows_d]
+    assert all(len(v) == 5 for _, v in rows_s)  # mean + 4 replicates
+    for (_, v_s), (_, v_d) in zip(rows_s, rows_d):
+        np.testing.assert_allclose(v_d, v_s, atol=2e-6)

@@ -110,10 +110,11 @@ class TestRCG:
                 counts.sum(), counts / counts.sum()
             )
         batch_j = jnp.asarray(batch, prob.counts.dtype)
-        gb, ib, bb = fit_rcg_batch(prob, batch_j, tol=1e-8)
+        tb, ib, bb = fit_rcg_batch(prob, batch_j, tol=1e-8)
         for b in range(3):
             g1, i1, b1 = fit_rcg(prob, counts=batch_j[b], tol=1e-8)
-            np.testing.assert_allclose(np.asarray(gb[b]), np.asarray(g1), atol=1e-7)
+            th1 = mixture_components(g1, batch_j[b])
+            np.testing.assert_allclose(np.asarray(tb[b]), np.asarray(th1), atol=1e-7)
             assert int(ib[b]) == int(i1)
 
 

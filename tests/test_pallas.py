@@ -292,3 +292,111 @@ def test_em_fit_mesh_dispatch():
     finally:
         em_mod._make_kernels = saved
     assert seen["mesh"] is mesh
+
+
+# ---------------------------------------------------------------------------
+# Batched (bootstrap) implicit fit
+# ---------------------------------------------------------------------------
+
+
+def _bootstrap_batch(counts, B, seed=3):
+    rng = np.random.default_rng(seed)
+    c = np.asarray(counts, np.float64)
+    p = c / c.sum()
+    return rng.multinomial(int(c.sum()), p, size=B).astype(np.float64)
+
+
+def test_batch_implicit_matches_serial():
+    # The batched kernels (one logL stream for all B replicates) must
+    # reproduce per-replicate serial implicit fits: same iteration
+    # counts, same bounds, theta to f32 round-off.
+    from msweep_tpu.inference.pack import DeviceProblem
+    from msweep_tpu.inference.rcg import fit_rcg_batch, _fit_rcg_arrays
+
+    logL, counts, alpha, bc = _problem(E=64, G=256, seed=31)
+    prob = DeviceProblem(
+        logL=logL, counts=counts, alpha=alpha, n_ecs=64, n_groups=256,
+        bound_const=bc, mesh=None,
+    )
+    B = 4
+    batch = jnp.asarray(_bootstrap_batch(counts, B), jnp.float32)
+    tb, ib, bb = fit_rcg_batch(prob, batch, tol=1e-6, max_iters=300,
+                               impl="pallas_interpret")
+    assert tb.shape == (B, 256)
+    for b in range(B):
+        g1, i1, b1 = _fit_rcg_arrays(
+            logL, batch[b], alpha, bc, tol=1e-6, max_iters=300,
+            verbose=False, impl="pallas_interpret",
+        )
+        assert int(ib[b]) == int(i1), f"replicate {b} iteration mismatch"
+        np.testing.assert_allclose(float(bb[b]), float(b1), rtol=1e-6)
+        th1 = np.sum(np.asarray(batch[b])[:, None] * np.exp(np.asarray(g1)), axis=0)
+        th1 /= np.asarray(batch[b]).sum()
+        np.testing.assert_allclose(np.asarray(tb[b]), th1, rtol=0, atol=2e-6)
+    # Replicate thetas sum to 1 over real groups.
+    np.testing.assert_allclose(np.asarray(tb).sum(axis=1), 1.0, rtol=1e-5)
+
+
+def test_batch_implicit_sharded_matches_single():
+    # shard_map + psum batched kernels on an 8-device CPU mesh must
+    # reproduce the unsharded batched trajectory (the lifted
+    # multi-process bootstrap path, reference docs/compilation.md:40-58).
+    from msweep_tpu.inference.pack import DeviceProblem
+    from msweep_tpu.inference.rcg import fit_rcg_batch
+    from msweep_tpu.parallel.mesh import make_ec_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    logL, counts, alpha, bc = _problem(E=256, G=256, seed=37)
+    B = 3
+    batch = jnp.asarray(_bootstrap_batch(counts, B, seed=5), jnp.float32)
+
+    prob0 = DeviceProblem(
+        logL=logL, counts=counts, alpha=alpha, n_ecs=256, n_groups=256,
+        bound_const=bc, mesh=None,
+    )
+    # Fixed iteration budget (tol<0): sharded f32 partials are grouped
+    # differently, so near-tol stopping iterations can differ by a step —
+    # the trajectory itself must match (same pattern as
+    # test_pallas_sharded_matches_single).
+    kw = dict(tol=-1.0, max_iters=12, impl="pallas_interpret")
+    t0, i0, b0 = fit_rcg_batch(prob0, batch, **kw)
+
+    mesh = make_ec_mesh(8)
+    logL_s = jax.device_put(logL, NamedSharding(mesh, P("ec", None)))
+    counts_s = jax.device_put(counts, NamedSharding(mesh, P("ec")))
+    alpha_s = jax.device_put(alpha, NamedSharding(mesh, P()))
+    prob1 = DeviceProblem(
+        logL=logL_s, counts=counts_s, alpha=alpha_s, n_ecs=256, n_groups=256,
+        bound_const=bc, mesh=mesh,
+    )
+    t1, i1, b1 = fit_rcg_batch(prob1, batch, **kw)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(b0), np.asarray(b1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(t0), np.asarray(t1), rtol=0, atol=1e-5)
+
+
+def test_em_batch_returns_theta():
+    # fit_em_batch returns (theta, iters, objective) with theta summing
+    # to 1 and matching mixture_components of a serial EM fit.
+    from msweep_tpu.inference.pack import DeviceProblem
+    from msweep_tpu.inference.em import fit_em_batch, _fit_em_arrays
+    from msweep_tpu.inference.mixture import mixture_components
+
+    logL, counts, alpha, bc = _problem(E=64, G=128, seed=41)
+    prob = DeviceProblem(
+        logL=logL, counts=counts, alpha=alpha, n_ecs=64, n_groups=128,
+        bound_const=bc, mesh=None,
+    )
+    B = 3
+    batch = jnp.asarray(_bootstrap_batch(counts, B, seed=7), jnp.float32)
+    tb, ib, ob = fit_em_batch(prob, batch, tol=1e-7, max_iters=500)
+    assert tb.shape == (B, 128)
+    np.testing.assert_allclose(np.asarray(tb).sum(axis=1), 1.0, rtol=1e-5)
+    for b in range(B):
+        g1, i1, o1 = _fit_em_arrays(
+            logL, batch[b], alpha, tol=1e-7, max_iters=500, verbose=False,
+            impl="xla",
+        )
+        th1 = np.asarray(mixture_components(g1, batch[b]))
+        assert int(ib[b]) == int(i1)
+        np.testing.assert_allclose(np.asarray(tb[b]), th1, rtol=0, atol=2e-6)
