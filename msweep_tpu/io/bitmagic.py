@@ -31,12 +31,22 @@ because they ARE the wire contract.  Confidence notes:
 - Elias-gamma ops (gap_egamma, arrgap_egamma[_inv]) — medium confidence
   (bit order LSB-first in little-endian u32 words; first array element
   coded as value+1, rest as deltas).
-- binary-interpolative (bienc) and XOR-compressed ops — NOT supported:
-  their exact bitstream layout could not be reconstructed offline with
-  enough confidence; a clear error names the opcode and the re-pack
-  workaround.  (XOR compression is a serializer-side opt-in that
-  alignment-writer does not use; bienc appears at BitMagic's default
-  compression level, so some real .aln files will hit this error.)
+- binary-interpolative v1 ops (arr_bienc[_inv], gap_bienc,
+  bitgap_bienc) — medium-LOW confidence: the recursive mid-first BIC
+  structure with range tightening is the published Moffat-Stuiver
+  algorithm (high confidence), but the minimal-binary sub-code layout
+  (_bic_* below: short-codes-first minimal binary, LSB-first bit
+  order) is a reconstruction that could not be validated against a
+  real BitMagic build offline.  Byte-level fixtures in
+  tests/test_bitmagic.py pin THIS layout; re-validate against
+  bm::deserialize the moment a BitMagic build is obtainable.  A
+  derailed bitstream surfaces as a range violation or a bad follow-on
+  opcode (BitMagicFormatError), not silent corruption, because BIC
+  decode is range-checked at every split.
+- bienc V2 ops (*_bienc_v2, sblock_bienc, arr_bienc_8bh), XOR-ref ops,
+  and digest0 — NOT supported: v2 re-packed the block headers in a way
+  that could not be reconstructed offline; a clear error names the
+  opcode and the re-pack workaround.
 
 The `serialize` encoder emits only conservative, long-stable opcodes
 (zero runs, plain GAP/bit/array blocks) so that any BitMagic build can
@@ -314,6 +324,145 @@ def _decode_egamma_array(dec: _Dec) -> np.ndarray:
     return out.astype(np.uint32)
 
 
+# -- binary interpolative coding (BIC) ---------------------------------------
+#
+# Moffat & Stuiver (2000) interpolative coding of a sorted array: emit the
+# middle element with a minimal binary code over its feasible range
+# (tightened by how many elements sit on each side), then recurse on both
+# halves.  Sub-code layout [reconstructed, see module docstring]: for a
+# value x in the inclusive range [lo, hi] with n = hi-lo+1 codewords,
+# b = ceil(log2 n) and d = 2^b - n values get SHORT (b-1)-bit codes,
+# assigned to the first d offsets; the rest get b-bit codes offset by d.
+# Bits go LSB-first into little-endian u32 words (_BitIn/_BitOut).
+
+
+def _bic_read_value(bin_: _BitIn, lo: int, hi: int) -> int:
+    """Minimal binary code for a value in [lo, hi], LSB-first-safe:
+    with n codewords, b = ceil(log2 n) and d = 2^b - n values get SHORT
+    (b-1)-bit codes [0, d); the n-d long values pair up on the remaining
+    (b-1)-bit prefixes [d, 2^(b-1)) plus one disambiguating bit (read
+    AFTER the prefix, so the code is prefix-free in read order)."""
+    n = hi - lo + 1
+    if n <= 1:
+        return lo
+    b = (n - 1).bit_length()  # ceil(log2 n) for n >= 2
+    d = (1 << b) - n
+    y = bin_.bits(b - 1)
+    if y < d:
+        return lo + y
+    t = bin_._bit()
+    return lo + d + (((y - d) << 1) | t)
+
+
+def _bic_write_value(bout: _BitOut, x: int, lo: int, hi: int) -> None:
+    n = hi - lo + 1
+    assert lo <= x <= hi
+    if n <= 1:
+        return
+    b = (n - 1).bit_length()
+    d = (1 << b) - n
+    c = x - lo
+    if c < d:
+        bout.bits(c, b - 1)
+    else:
+        q, t = divmod(c - d, 2)
+        bout.bits(d + q, b - 1)
+        bout.bit(t)
+
+
+def _bic_decode(bin_: _BitIn, sz: int, lo: int, hi: int, out: list) -> None:
+    """Decode sz sorted values in [lo, hi].  Recursive with bounded
+    depth: BIC splits at the middle, so depth <= ~17 for 64K values."""
+
+    def rec(sz, lo, hi):
+        if sz <= 0:
+            return []
+        if lo > hi or hi - lo + 1 < sz:
+            raise BitMagicFormatError("BIC range violation (corrupt stream?)")
+        mid = sz >> 1
+        vlo = lo + mid  # mid has `mid` elements below it...
+        vhi = hi - (sz - mid - 1)  # ...and sz-mid-1 above
+        val = _bic_read_value(bin_, vlo, vhi)
+        left = rec(mid, lo, val - 1)
+        right = rec(sz - mid - 1, val + 1, hi)
+        return left + [val] + right
+
+    out.extend(rec(sz, lo, hi))
+
+
+def _bic_encode(bout: _BitOut, arr, lo: int, hi: int) -> None:
+    def rec(a, lo, hi):
+        sz = len(a)
+        if not sz:
+            return
+        mid = sz >> 1
+        val = int(a[mid])
+        _bic_write_value(bout, val, lo + mid, hi - (sz - mid - 1))
+        rec(a[:mid], lo, val - 1)
+        rec(a[mid + 1 :], val + 1, hi)
+
+    rec(list(arr), lo, hi)
+
+
+def _decode_bienc_array(dec: _Dec) -> np.ndarray:
+    """set_block_arr_bienc payload: u16 min, u16 max, u16 count, then a
+    BIC bitstream of the count-2 interior values in (min, max)."""
+    min_v = dec.u16()
+    max_v = dec.u16()
+    n = dec.u16()
+    if n < 2 or max_v < min_v or n > max_v - min_v + 1:
+        raise BitMagicFormatError("bad bienc array header")
+    vals: list = []
+    if n > 2:
+        bin_ = _BitIn(dec)
+        _bic_decode(bin_, n - 2, min_v + 1, max_v - 1, vals)
+    return np.asarray([min_v] + vals + [max_v], dtype=np.uint32)
+
+
+def _decode_gap_bienc_payload(dec: _Dec) -> np.ndarray:
+    """set_block_gap_bienc payload: u16 GAP head, u16 first boundary,
+    then a BIC bitstream of the remaining boundaries except the implied
+    65535 terminator."""
+    head = dec.u16()
+    total = (head >> 3) + 1  # words incl head and implied terminator
+    if total < 3:
+        raise BitMagicFormatError("bad bienc GAP block header")
+    min_v = dec.u16()
+    vals: list = [min_v]
+    n_rest = total - 3  # boundaries after the first, before terminator
+    if n_rest > 0:
+        bin_ = _BitIn(dec)
+        _bic_decode(bin_, n_rest, min_v + 1, GAP_MAX_BITS - 2, vals)
+    boundaries = np.asarray(vals + [GAP_MAX_BITS - 1], dtype=np.uint32)
+    return _gap_to_positions(head, boundaries)
+
+
+def _encode_bienc_array(out: bytearray, pos: np.ndarray) -> None:
+    """Fixture-side encoder mirroring _decode_bienc_array exactly."""
+    assert len(pos) >= 2
+    out += int(pos[0]).to_bytes(2, "little")
+    out += int(pos[-1]).to_bytes(2, "little")
+    out += len(pos).to_bytes(2, "little")
+    if len(pos) > 2:
+        bout = _BitOut(out)
+        _bic_encode(bout, [int(p) for p in pos[1:-1]], int(pos[0]) + 1, int(pos[-1]) - 1)
+        bout.flush()
+
+
+def _encode_gap_bienc(out: bytearray, head: int, boundaries: np.ndarray) -> None:
+    """Fixture-side encoder mirroring _decode_gap_bienc_payload (the
+    boundaries array INCLUDES the 65535 terminator, like _gap_to_positions
+    takes)."""
+    out += int(head).to_bytes(2, "little")
+    min_v = int(boundaries[0])
+    out += min_v.to_bytes(2, "little")
+    rest = [int(b) for b in boundaries[1:-1]]
+    if rest:
+        bout = _BitOut(out)
+        _bic_encode(bout, rest, min_v + 1, GAP_MAX_BITS - 2)
+        bout.flush()
+
+
 def _decode_bit_0runs(dec: _Dec) -> np.ndarray:
     """Alternating zero/nonzero u32-word runs (set_block_bit_0runs)."""
     words = np.zeros(BLOCK_WORDS, dtype="<u4")
@@ -450,11 +599,20 @@ def deserialize(buf, size_hint: int | None = None) -> tuple[np.ndarray, int]:
         elif op == SET_BLOCK_BIT_0RUNS:
             emit(i, _decode_bit_0runs(dec))
             i += 1
+        elif op == SET_BLOCK_ARR_BIENC:
+            emit(i, _decode_bienc_array(dec))
+            i += 1
+        elif op == SET_BLOCK_ARR_BIENC_INV:
+            emit(i, _invert_positions(_decode_bienc_array(dec)))
+            i += 1
+        elif op in (SET_BLOCK_GAP_BIENC, SET_BLOCK_BITGAP_BIENC):
+            emit(i, _decode_gap_bienc_payload(dec))
+            i += 1
         else:
             raise BitMagicFormatError(
                 f"unsupported BitMagic block opcode {op} at byte {dec.pos - 1} "
-                "(entropy-coded or XOR-compressed block; re-pack the "
-                "alignment with `msweep-tpu pack` or alignment-writer "
+                "(bienc-v2/XOR/digest block; re-pack the alignment with "
+                "`msweep-tpu pack` or alignment-writer "
                 "--compression-level <=3)"
             )
         if i > n_blocks + 1:

@@ -160,8 +160,8 @@ def test_decode_id_list():
 
 
 def test_unsupported_opcodes_error_clearly():
-    buf = header64(bmg.BLOCK_BITS) + bytes([bmg.SET_BLOCK_ARR_BIENC])
-    with pytest.raises(bmg.BitMagicFormatError, match="opcode 27"):
+    buf = header64(bmg.BLOCK_BITS) + bytes([bmg.SET_BLOCK_ARR_BIENC_V2])
+    with pytest.raises(bmg.BitMagicFormatError, match="opcode 51"):
         bmg.deserialize(buf)
     with pytest.raises(bmg.BitMagicFormatError, match="XOR"):
         bmg.deserialize(bytes([bmg.BM_HM_HXOR | bmg.BM_HM_RESIZE]))
@@ -169,6 +169,118 @@ def test_unsupported_opcodes_error_clearly():
         bmg.deserialize(bytes([bmg.BM_HM_RESIZE, 0]))
     with pytest.raises(bmg.BitMagicFormatError, match="truncated"):
         bmg.deserialize(header64(bmg.BLOCK_BITS)[:-2])
+
+
+# ---------------------------------------------------------------------------
+# binary interpolative (bienc) fixtures — bit-level, hand-computed
+# ---------------------------------------------------------------------------
+
+def test_decode_bienc_array_hand_fixture():
+    # positions {3, 10, 20}: header min=3 max=20 n=3; interior [10] coded
+    # in [4, 19] -> range 16, b=4, d=0, c=6 long: prefix q=d+(c-d)//2=3 in
+    # 3 bits (1,1,0) then t=0 -> bits 1,1,0,0 -> u32 word 3.
+    buf = header64(bmg.BLOCK_BITS)
+    buf += bytes([bmg.SET_BLOCK_ARR_BIENC]) + u16(3, 20, 3) + struct.pack("<I", 3)
+    buf += bytes([bmg.SET_BLOCK_END])
+    pos, _ = bmg.deserialize(buf)
+    assert pos.tolist() == [3, 10, 20]
+
+
+def test_decode_bienc_array_short_code_fixture():
+    # positions {3, 5, 9, 19}: interior [5, 9] in [4, 18].
+    #   mid (idx 1) val=9 in [5, 18]: range 14, b=4, d=2, c=4 long ->
+    #     prefix q=2+(4-2)//2=3 in 3 bits (1,1,0) then t=0
+    #   left val=5 in [4, 8]: range 5, b=3, d=3, c=1 < d ->
+    #     SHORT code 1 in 2 bits (1,0)
+    # bit sequence 1,1,0,0,1,0 -> u32 word 0b010011 = 19.
+    buf = header64(bmg.BLOCK_BITS)
+    buf += bytes([bmg.SET_BLOCK_ARR_BIENC]) + u16(3, 19, 4) + struct.pack("<I", 19)
+    buf += bytes([bmg.SET_BLOCK_END])
+    pos, _ = bmg.deserialize(buf)
+    assert pos.tolist() == [3, 5, 9, 19]
+
+
+def test_decode_bienc_array_two_elements_no_bits():
+    # n=2: min and max only, zero-length bitstream.
+    buf = header64(bmg.BLOCK_BITS)
+    buf += bytes([bmg.SET_BLOCK_ARR_BIENC]) + u16(100, 60000, 2)
+    buf += bytes([bmg.SET_BLOCK_END])
+    pos, _ = bmg.deserialize(buf)
+    assert pos.tolist() == [100, 60000]
+
+
+def test_decode_bienc_array_inv():
+    # inverse: all block bits EXCEPT {3, 10, 20} (same payload as above).
+    buf = header64(bmg.BLOCK_BITS)
+    buf += bytes([bmg.SET_BLOCK_ARR_BIENC_INV]) + u16(3, 20, 3) + struct.pack("<I", 3)
+    buf += bytes([bmg.SET_BLOCK_END])
+    pos, _ = bmg.deserialize(buf)
+    assert len(pos) == bmg.BLOCK_BITS - 3
+    assert not np.isin([3, 10, 20], pos).any()
+
+
+def test_decode_gap_bienc_hand_fixture():
+    # GAP runs: zeros 0-4, ones 5-9, zeros to end.  head: len word count
+    # total 4 (head + 2 boundaries + implied terminator) -> head = 3<<3,
+    # first_val=0.  min boundary 4 explicit; remaining boundary [9] BIC
+    # in [5, 65534]: range 65530, b=16, d=6, c=4 < d -> SHORT code 4 in
+    # 15 bits -> u32 word 4.
+    buf = header64(bmg.BLOCK_BITS)
+    buf += bytes([bmg.SET_BLOCK_GAP_BIENC]) + u16(3 << 3, 4) + struct.pack("<I", 4)
+    buf += bytes([bmg.SET_BLOCK_END])
+    pos, _ = bmg.deserialize(buf)
+    assert pos.tolist() == [5, 6, 7, 8, 9]
+
+
+def test_decode_bitgap_bienc_same_payload():
+    buf = header64(bmg.BLOCK_BITS)
+    buf += bytes([bmg.SET_BLOCK_BITGAP_BIENC]) + u16(3 << 3, 4) + struct.pack("<I", 4)
+    buf += bytes([bmg.SET_BLOCK_END])
+    pos, _ = bmg.deserialize(buf)
+    assert pos.tolist() == [5, 6, 7, 8, 9]
+
+
+@pytest.mark.parametrize("seed,n", [(0, 3), (1, 17), (2, 200), (3, 4000)])
+def test_bienc_array_encode_decode_roundtrip(seed, n):
+    # Random sorted position arrays through the fixture encoder and the
+    # production decoder (pins decoder <-> documented layout both ways).
+    rng = np.random.default_rng(seed)
+    pos = np.sort(rng.choice(bmg.BLOCK_BITS, size=n, replace=False)).astype(np.uint32)
+    payload = bytearray()
+    bmg._encode_bienc_array(payload, pos)
+    buf = header64(bmg.BLOCK_BITS) + bytes([bmg.SET_BLOCK_ARR_BIENC]) + bytes(payload)
+    buf += bytes([bmg.SET_BLOCK_END])
+    out, _ = bmg.deserialize(buf)
+    assert out.tolist() == pos.tolist()
+
+
+@pytest.mark.parametrize("seed", [5, 6, 7])
+def test_gap_bienc_encode_decode_roundtrip(seed):
+    rng = np.random.default_rng(seed)
+    n_bounds = int(rng.integers(2, 40))
+    bounds = np.sort(rng.choice(bmg.GAP_MAX_BITS - 2, size=n_bounds, replace=False))
+    boundaries = np.concatenate([bounds, [bmg.GAP_MAX_BITS - 1]]).astype(np.uint32)
+    first_val = int(rng.integers(0, 2))
+    total = len(boundaries) + 1  # + head word
+    head = first_val | ((total - 1) << 3)
+    payload = bytearray()
+    bmg._encode_gap_bienc(payload, head, boundaries)
+    buf = header64(bmg.BLOCK_BITS) + bytes([bmg.SET_BLOCK_GAP_BIENC]) + bytes(payload)
+    buf += bytes([bmg.SET_BLOCK_END])
+    out, _ = bmg.deserialize(buf)
+    expect = bmg._gap_to_positions(head, boundaries)
+    assert out.tolist() == expect.tolist()
+
+
+def test_bienc_corrupt_stream_raises_not_corrupts():
+    # A bitstream whose decoded mid violates its feasible range must
+    # raise, not return garbage: n=300 interior values can't fit in a
+    # 10-wide range.
+    buf = header64(bmg.BLOCK_BITS)
+    buf += bytes([bmg.SET_BLOCK_ARR_BIENC]) + u16(3, 13, 300) + struct.pack("<I", 0)
+    buf += bytes([bmg.SET_BLOCK_END])
+    with pytest.raises(bmg.BitMagicFormatError):
+        bmg.deserialize(buf)
 
 
 # ---------------------------------------------------------------------------
