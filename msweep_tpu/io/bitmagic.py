@@ -43,10 +43,21 @@ because they ARE the wire contract.  Confidence notes:
   derailed bitstream surfaces as a range violation or a bad follow-on
   opcode (BitMagicFormatError), not silent corruption, because BIC
   decode is range-checked at every split.
-- bienc V2 ops (*_bienc_v2, sblock_bienc, arr_bienc_8bh), XOR-ref ops,
-  and digest0 — NOT supported: v2 re-packed the block headers in a way
-  that could not be reconstructed offline; a clear error names the
-  opcode and the re-pack workaround.
+- bienc V2 ops (gap/arr/arr_inv/bitgap _bienc_v2) — medium-LOW
+  confidence, same caveat as v1: the v2 re-pack keeps the BIC payload
+  but shrinks the header, storing min_v and the tail delta
+  (65535 - max_v) as single bytes — v2 opcodes are only emitted when
+  both fit in 8 bits, else the serializer falls back to the v1 opcode.
+  Byte-level fixtures pin this layout; re-validate against a real
+  bm::deserialize when obtainable.
+- digest0 (set_block_bit_digest0) — high-MEDIUM confidence: u64 digest
+  bitmask over the 64 1024-bit waves of the block, followed by the raw
+  u32 words of each nonzero wave in ascending order.
+- sblock_bienc, arr_bienc_8bh, XOR-ref ops, and bookmarks — NOT
+  supported: a clear error names the opcode and the re-pack
+  workaround.  (XOR-ref and bookmarks are opt-in serializer features
+  alignment-writer never enables; sblock/8bh paths could not be
+  reconstructed offline.)
 
 The `serialize` encoder emits only conservative, long-stable opcodes
 (zero runs, plain GAP/bit/array blocks) so that any BitMagic build can
@@ -437,6 +448,108 @@ def _decode_gap_bienc_payload(dec: _Dec) -> np.ndarray:
     return _gap_to_positions(head, boundaries)
 
 
+def _decode_bienc_array_v2(dec: _Dec) -> np.ndarray:
+    """set_block_arr_bienc_v2 payload: u8 min, u8 tail_delta
+    (max = 65535 - tail_delta), u16 count, then the same BIC bitstream
+    as v1 over the count-2 interior values in (min, max)."""
+    min_v = dec.u8()
+    max_v = (BLOCK_BITS - 1) - dec.u8()
+    n = dec.u16()
+    if n < 2 or max_v < min_v or n > max_v - min_v + 1:
+        raise BitMagicFormatError("bad bienc-v2 array header")
+    vals: list = []
+    if n > 2:
+        bin_ = _BitIn(dec)
+        _bic_decode(bin_, n - 2, min_v + 1, max_v - 1, vals)
+    return np.asarray([min_v] + vals + [max_v], dtype=np.uint32)
+
+
+def _decode_gap_bienc_v2_payload(dec: _Dec) -> np.ndarray:
+    """set_block_gap_bienc_v2 payload: u16 GAP head (level bits ignored),
+    u8 first boundary, u8 tail delta (last explicit boundary =
+    65535 - delta), then a BIC bitstream of the interior boundaries.
+    Requires >= 2 explicit boundaries (the encoder falls back to the v1
+    opcode otherwise)."""
+    head = dec.u16()
+    total = (head >> 3) + 1  # words incl head and implied terminator
+    if total < 4:
+        raise BitMagicFormatError("bad bienc-v2 GAP block header")
+    min_v = dec.u8()
+    max_v = (GAP_MAX_BITS - 1) - dec.u8()
+    if max_v <= min_v:
+        raise BitMagicFormatError("bad bienc-v2 GAP block bounds")
+    vals: list = [min_v]
+    n_interior = total - 4  # after the first, before the last + terminator
+    if n_interior > 0:
+        bin_ = _BitIn(dec)
+        _bic_decode(bin_, n_interior, min_v + 1, max_v - 1, vals)
+    boundaries = np.asarray(vals + [max_v, GAP_MAX_BITS - 1], dtype=np.uint32)
+    return _gap_to_positions(head, boundaries)
+
+
+_DIGEST_WAVE_WORDS = BLOCK_WORDS // 64  # 32 u32 words = 1024 bits per wave
+
+
+def _decode_bit_digest0(dec: _Dec) -> np.ndarray:
+    """set_block_bit_digest0 payload: u64 digest (bit d set = wave d has
+    nonzero words), then the raw u32 words of each nonzero wave in
+    ascending wave order."""
+    digest = dec.u64()
+    words = np.zeros(BLOCK_WORDS, dtype="<u4")
+    for d in range(64):
+        if (digest >> d) & 1:
+            words[d * _DIGEST_WAVE_WORDS : (d + 1) * _DIGEST_WAVE_WORDS] = (
+                dec.u32_array(_DIGEST_WAVE_WORDS)
+            )
+    return _words_to_positions(words)
+
+
+def _encode_bienc_array_v2(out: bytearray, pos: np.ndarray) -> None:
+    """Fixture-side encoder mirroring _decode_bienc_array_v2 exactly."""
+    assert len(pos) >= 2
+    min_v, max_v = int(pos[0]), int(pos[-1])
+    assert min_v < 256 and (BLOCK_BITS - 1) - max_v < 256
+    out.append(min_v)
+    out.append((BLOCK_BITS - 1) - max_v)
+    out += len(pos).to_bytes(2, "little")
+    if len(pos) > 2:
+        bout = _BitOut(out)
+        _bic_encode(bout, [int(p) for p in pos[1:-1]], min_v + 1, max_v - 1)
+        bout.flush()
+
+
+def _encode_gap_bienc_v2(out: bytearray, head: int, boundaries: np.ndarray) -> None:
+    """Fixture-side encoder mirroring _decode_gap_bienc_v2_payload (the
+    boundaries array INCLUDES the 65535 terminator)."""
+    assert len(boundaries) >= 3  # min, max, terminator
+    min_v, max_v = int(boundaries[0]), int(boundaries[-2])
+    assert min_v < 256 and (GAP_MAX_BITS - 1) - max_v < 256
+    out += int(head).to_bytes(2, "little")
+    out.append(min_v)
+    out.append((GAP_MAX_BITS - 1) - max_v)
+    interior = [int(b) for b in boundaries[1:-2]]
+    if interior:
+        bout = _BitOut(out)
+        _bic_encode(bout, interior, min_v + 1, max_v - 1)
+        bout.flush()
+
+
+def _encode_bit_digest0(out: bytearray, pos: np.ndarray) -> None:
+    """Fixture-side encoder mirroring _decode_bit_digest0 exactly."""
+    words = np.zeros(BLOCK_WORDS, dtype="<u4")
+    np.bitwise_or.at(
+        words, pos >> 5, np.left_shift(np.uint32(1), (pos & 31).astype(np.uint32))
+    )
+    waves = words.reshape(64, _DIGEST_WAVE_WORDS)
+    nonzero = waves.any(axis=1)
+    digest = 0
+    for d in np.flatnonzero(nonzero):
+        digest |= 1 << int(d)
+    out += digest.to_bytes(8, "little")
+    for d in np.flatnonzero(nonzero):
+        out += waves[d].tobytes()
+
+
 def _encode_bienc_array(out: bytearray, pos: np.ndarray) -> None:
     """Fixture-side encoder mirroring _decode_bienc_array exactly."""
     assert len(pos) >= 2
@@ -608,10 +721,22 @@ def deserialize(buf, size_hint: int | None = None) -> tuple[np.ndarray, int]:
         elif op in (SET_BLOCK_GAP_BIENC, SET_BLOCK_BITGAP_BIENC):
             emit(i, _decode_gap_bienc_payload(dec))
             i += 1
+        elif op == SET_BLOCK_ARR_BIENC_V2:
+            emit(i, _decode_bienc_array_v2(dec))
+            i += 1
+        elif op == SET_BLOCK_ARR_BIENC_INV_V2:
+            emit(i, _invert_positions(_decode_bienc_array_v2(dec)))
+            i += 1
+        elif op in (SET_BLOCK_GAP_BIENC_V2, SET_BLOCK_BITGAP_BIENC_V2):
+            emit(i, _decode_gap_bienc_v2_payload(dec))
+            i += 1
+        elif op == SET_BLOCK_BIT_DIGEST0:
+            emit(i, _decode_bit_digest0(dec))
+            i += 1
         else:
             raise BitMagicFormatError(
                 f"unsupported BitMagic block opcode {op} at byte {dec.pos - 1} "
-                "(bienc-v2/XOR/digest block; re-pack the alignment with "
+                "(XOR-ref/sblock/bookmark block; re-pack the alignment with "
                 "`msweep-tpu pack` or alignment-writer "
                 "--compression-level <=3)"
             )

@@ -160,8 +160,11 @@ def test_decode_id_list():
 
 
 def test_unsupported_opcodes_error_clearly():
-    buf = header64(bmg.BLOCK_BITS) + bytes([bmg.SET_BLOCK_ARR_BIENC_V2])
-    with pytest.raises(bmg.BitMagicFormatError, match="opcode 51"):
+    buf = header64(bmg.BLOCK_BITS) + bytes([bmg.SET_BLOCK_XOR_REF8])
+    with pytest.raises(bmg.BitMagicFormatError, match="opcode 43"):
+        bmg.deserialize(buf)
+    buf = header64(bmg.BLOCK_BITS) + bytes([bmg.SET_SBLOCK_BIENC])
+    with pytest.raises(bmg.BitMagicFormatError, match="opcode 41"):
         bmg.deserialize(buf)
     with pytest.raises(bmg.BitMagicFormatError, match="XOR"):
         bmg.deserialize(bytes([bmg.BM_HM_HXOR | bmg.BM_HM_RESIZE]))
@@ -270,6 +273,116 @@ def test_gap_bienc_encode_decode_roundtrip(seed):
     out, _ = bmg.deserialize(buf)
     expect = bmg._gap_to_positions(head, boundaries)
     assert out.tolist() == expect.tolist()
+
+
+def test_decode_bienc_array_v2_hand_fixture():
+    # positions {3, 10, 65530}: v2 header u8 min=3, u8 tail=65535-65530=5,
+    # u16 n=3; interior [10] coded in [4, 65529] -> range 65526, b=16,
+    # d=65536-65526=10, c=10-4=6 < d -> SHORT code 6 in 15 bits -> word 6.
+    buf = header64(bmg.BLOCK_BITS)
+    buf += bytes([bmg.SET_BLOCK_ARR_BIENC_V2, 3, 5]) + u16(3) + struct.pack("<I", 6)
+    buf += bytes([bmg.SET_BLOCK_END])
+    pos, _ = bmg.deserialize(buf)
+    assert pos.tolist() == [3, 10, 65530]
+
+
+def test_decode_bienc_array_inv_v2():
+    # same payload, inverted semantics.
+    buf = header64(bmg.BLOCK_BITS)
+    buf += bytes([bmg.SET_BLOCK_ARR_BIENC_INV_V2, 3, 5]) + u16(3) + struct.pack("<I", 6)
+    buf += bytes([bmg.SET_BLOCK_END])
+    pos, _ = bmg.deserialize(buf)
+    assert len(pos) == bmg.BLOCK_BITS - 3
+    assert not np.isin([3, 10, 65530], pos).any()
+
+
+def test_decode_gap_bienc_v2_hand_fixture():
+    # GAP runs: [0..4]=0, [5..9]=1, [10..65529]=0, [65530..65535]=1.
+    # Boundaries [4, 9, 65529, 65535]: total words = head + 3 explicit
+    # + terminator = 5 -> head = 4<<3 = 32, first_val=0.  v2 header:
+    # u8 min=4, u8 tail=65535-65529=6; interior [9] BIC in [5, 65528] ->
+    # range 65524, b=16, d=12, c=4 < d -> SHORT code 4 in 15 bits -> word 4.
+    buf = header64(bmg.BLOCK_BITS)
+    buf += bytes([bmg.SET_BLOCK_GAP_BIENC_V2]) + u16(4 << 3) + bytes([4, 6])
+    buf += struct.pack("<I", 4)
+    buf += bytes([bmg.SET_BLOCK_END])
+    pos, _ = bmg.deserialize(buf)
+    assert pos.tolist() == [5, 6, 7, 8, 9] + list(range(65530, 65536))
+
+
+def test_decode_bitgap_bienc_v2_same_payload():
+    buf = header64(bmg.BLOCK_BITS)
+    buf += bytes([bmg.SET_BLOCK_BITGAP_BIENC_V2]) + u16(4 << 3) + bytes([4, 6])
+    buf += struct.pack("<I", 4)
+    buf += bytes([bmg.SET_BLOCK_END])
+    pos, _ = bmg.deserialize(buf)
+    assert pos.tolist() == [5, 6, 7, 8, 9] + list(range(65530, 65536))
+
+
+@pytest.mark.parametrize("seed,n", [(10, 3), (11, 40), (12, 2000)])
+def test_bienc_array_v2_encode_decode_roundtrip(seed, n):
+    # v2 applies only when min < 256 and 65535-max < 256; constrain both.
+    rng = np.random.default_rng(seed)
+    mid = np.sort(rng.choice(bmg.BLOCK_BITS - 2, size=n - 2, replace=False))[: n - 2]
+    pos = np.unique(
+        np.concatenate([[int(rng.integers(0, 256))], mid,
+                        [bmg.BLOCK_BITS - 1 - int(rng.integers(0, 256))]])
+    ).astype(np.uint32)
+    payload = bytearray()
+    bmg._encode_bienc_array_v2(payload, pos)
+    buf = header64(bmg.BLOCK_BITS) + bytes([bmg.SET_BLOCK_ARR_BIENC_V2]) + bytes(payload)
+    buf += bytes([bmg.SET_BLOCK_END])
+    out, _ = bmg.deserialize(buf)
+    assert out.tolist() == pos.tolist()
+
+
+@pytest.mark.parametrize("seed", [13, 14, 15])
+def test_gap_bienc_v2_encode_decode_roundtrip(seed):
+    rng = np.random.default_rng(seed)
+    n_interior = int(rng.integers(0, 30))
+    lo = int(rng.integers(0, 256))
+    hi = bmg.GAP_MAX_BITS - 2 - int(rng.integers(0, 255))
+    interior = np.sort(rng.choice(np.arange(lo + 1, hi), size=n_interior, replace=False))
+    boundaries = np.concatenate(
+        [[lo], interior, [hi], [bmg.GAP_MAX_BITS - 1]]
+    ).astype(np.uint32)
+    first_val = int(rng.integers(0, 2))
+    total = len(boundaries) + 1  # + head word
+    head = first_val | ((total - 1) << 3)
+    payload = bytearray()
+    bmg._encode_gap_bienc_v2(payload, head, boundaries)
+    buf = header64(bmg.BLOCK_BITS) + bytes([bmg.SET_BLOCK_GAP_BIENC_V2]) + bytes(payload)
+    buf += bytes([bmg.SET_BLOCK_END])
+    out, _ = bmg.deserialize(buf)
+    expect = bmg._gap_to_positions(head, boundaries)
+    assert out.tolist() == expect.tolist()
+
+
+def test_decode_bit_digest0_hand_fixture():
+    # positions {5, 1025, 65535}: waves 0, 1, 63 nonzero ->
+    # digest bits 0, 1, 63; each wave ships 32 raw u32 words.
+    wave0 = np.zeros(32, dtype="<u4"); wave0[0] = 1 << 5
+    wave1 = np.zeros(32, dtype="<u4"); wave1[0] = 2  # 1025 & 31 == 1
+    wave63 = np.zeros(32, dtype="<u4"); wave63[31] = 1 << 31
+    digest = 1 | 2 | (1 << 63)
+    buf = header64(bmg.BLOCK_BITS)
+    buf += bytes([bmg.SET_BLOCK_BIT_DIGEST0]) + struct.pack("<Q", digest)
+    buf += wave0.tobytes() + wave1.tobytes() + wave63.tobytes()
+    buf += bytes([bmg.SET_BLOCK_END])
+    pos, _ = bmg.deserialize(buf)
+    assert pos.tolist() == [5, 1025, 65535]
+
+
+@pytest.mark.parametrize("seed,n", [(20, 1), (21, 64), (22, 5000)])
+def test_bit_digest0_encode_decode_roundtrip(seed, n):
+    rng = np.random.default_rng(seed)
+    pos = np.sort(rng.choice(bmg.BLOCK_BITS, size=n, replace=False)).astype(np.uint32)
+    payload = bytearray()
+    bmg._encode_bit_digest0(payload, pos)
+    buf = header64(bmg.BLOCK_BITS) + bytes([bmg.SET_BLOCK_BIT_DIGEST0]) + bytes(payload)
+    buf += bytes([bmg.SET_BLOCK_END])
+    out, _ = bmg.deserialize(buf)
+    assert out.tolist() == pos.tolist()
 
 
 def test_bienc_corrupt_stream_raises_not_corrupts():
