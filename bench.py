@@ -243,9 +243,12 @@ run = lambda: _fit_rcg_arrays(
     chunk=ITERS, impl="pallas_interpret", mesh=mesh,
 )
 jax.block_until_ready(run())
-t0 = time.time()
-jax.block_until_ready(run())
-dt = time.time() - t0
+# best-of-3: the CPU-sim children share the host's few cores with
+# whatever else runs there, so single timings are noisy.
+dt = min(
+    (lambda t0: (jax.block_until_ready(run()), time.time() - t0)[1])(time.time())
+    for _ in range(3)
+)
 print(json.dumps({"n": n, "E": E, "it_per_s": ITERS / dt}))
 """
 
@@ -270,9 +273,23 @@ def bench_weak_scaling():
         row = json.loads(r.stdout.strip().splitlines()[-1])
         results.append(row)
         log(f"weak_scaling: n={row['n']} E={row['E']} {row['it_per_s']:.2f} it/s")
-    eff = results[-1]["it_per_s"] / results[0]["it_per_s"]
-    log(f"weak_scaling efficiency (8 dev vs 1, E/device fixed): {eff:.2%}")
-    DETAILS["weak_scaling"] = {"rows": results, "efficiency_8dev": eff}
+    # Virtual devices share the host's physical cores: once n exceeds
+    # them, the ratio measures oversubscription, not sharding overhead.
+    # Score efficiency at the largest non-oversubscribed n; larger n
+    # rows remain as functional (correct-under-sharding) evidence.
+    cores = os.cpu_count() or 1
+    scored = [r for r in results if r["n"] <= cores] or results[:1]
+    eff = scored[-1]["it_per_s"] / results[0]["it_per_s"]
+    log(
+        f"weak_scaling efficiency ({scored[-1]['n']} dev vs 1, E/device "
+        f"fixed, host has {cores} cores): {eff:.2%}"
+    )
+    DETAILS["weak_scaling"] = {
+        "rows": results,
+        "host_cores": cores,
+        "efficiency_n": scored[-1]["n"],
+        "efficiency": eff,
+    }
 
 
 def bench_phase_e2e(n_reads=None, n_refs=512, n_groups=64):
@@ -382,8 +399,18 @@ def main():
         bench_weak_scaling()
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json")
+    # Merge into the existing file: a quick/default run must not wipe the
+    # full-suite rows (reference scale, weak scaling, e2e) recorded by an
+    # earlier `MSWEEP_BENCH_SUITE=full` run.
+    merged = {}
+    try:
+        with open(out) as f:
+            merged = json.load(f)
+    except (OSError, ValueError):
+        pass
+    merged.update(DETAILS)
     with open(out, "w") as f:
-        json.dump(DETAILS, f, indent=1)
+        json.dump(merged, f, indent=1)
     log(f"details -> {out}")
 
     print(

@@ -1,16 +1,31 @@
 """Per-kernel timing on the real TPU: where does the rcg iteration go?
 
-Chained (data-dependent) reps so async dispatch cannot hide device time.
+All timed reps run data-chained inside ONE lax.scan dispatch (see
+_scan_time) — host-chained loops through the remote (axon) tunnel
+produced wildly wrong readings in both directions.
 
-v5e roofline: 819 GB/s HBM.  The implicit-gamma step reads logL twice
-(2 traffics x 1 GiB at E=2^19, G=512, f32) => 2.6 ms/iter floor
-=> ~102 G cells/s ceiling; measured ~42 G (the three exp sweeps are
-compute-bound on the transcendental unit, not HBM-bound).
+Nominal v5e roofline: 819 GB/s HBM => 2.6 ms/iter floor for the
+implicit-gamma step (2 traffics x 1 GiB at E=2^19, G=512, f32).
+Measured reality (round 4): the kernels are MEMORY-bound, and the
+practical single-stream Pallas read rate tops out near ~340 GB/s
+steady-state on this device — a read-only kernel with the production
+operand structure costs the same as the full softmax body, so the exp
+sweeps and per-cell ALU work are hidden behind the DMA.  Removing an
+entire softmax from pass 1 gains only ~8%.  A "two-stream" variant
+(logL bound twice over half-ranges, two in-flight DMAs) reached
+~360-380 GB/s in isolation but LOST ~6-11% end-to-end in the production
+scan; single-stream ships (docs/benchmarks.md).
+
+NOTE on microbench trust: some minimal kernels (plain read+sum with few
+operands) report physically impossible rates through this stack even
+when their RESULTS are correct — treat any reading above the HBM
+roofline as instrumentation failure, and prefer the norm/update/full
+rows (they cross-check against `python bench.py` end-to-end numbers).
 
 Microbenches (WHICH env, comma-sep):
   dispatch  per-jit-call overhead (tiny op, chained, sync every rep)
   dispatch_async  same but only one final sync (pipelined dispatch rate)
-  copy      read+write streaming bandwidth ceiling
+  copy      read-bandwidth ceiling attempt (see trust note above)
   exp       read + exp + rowsum: one exp sweep at streaming rate
   exp2      read + two exp sweeps (max/exp/sum twice)
   norm      current rcg pass 1 (rcg_norm: grad norm + old row ELBO)
@@ -90,32 +105,68 @@ def bench_dispatch(sync_each=True):
     print(f"dispatch {tag:18s} {dt*1e3:8.3f} ms/call")
 
 
-def _copy_kernel(x_ref, o_ref):
-    o_ref[:] = x_ref[:] + 1.0
+def _read_kernel(x_ref, s_ref, o_ref):
+    # cheapest possible full read: one add per cell + row-sum; the smem
+    # scalar makes each rep's input depend on the previous rep's output
+    # so chained reps cannot overlap or be elided.
+    o_ref[:, :] = jnp.sum(x_ref[:] + s_ref[0, 0] * 1e-30, axis=1, keepdims=True)
+
+
+
+def _scan_time(run_one):
+    """Time REPS data-chained kernel launches inside ONE lax.scan dispatch.
+
+    Host-chained rep loops are meaningless through the remote (axon)
+    tunnel — dispatch pipelining and lazy completion produced both 400x
+    under- and 6x over-roofline readings.  A scan executes entirely on
+    device, like the production _rcg_chunk, so wall time is device time.
+    run_one(logL, s) must return a scalar; the carry feeds the next rep.
+    """
+
+    @jax.jit
+    def scan(x, s0):
+        def body(s, _):
+            # the raw result is the next carry: a `r * 0` chain let XLA
+            # constant-fold the carry and dead-code the kernel entirely
+            # (observed: "200 TB/s").  Kernels fold the scalar to ~0
+            # INSIDE the opaque pallas body instead.
+            r = run_one(x, s.reshape(1, 1))
+            return jnp.reshape(r, ())[()] * 1.0, None
+        out, _ = jax.lax.scan(body, s0, None, length=REPS)
+        return out
+
+    s0 = jnp.zeros((), jnp.float32)
+    jax.block_until_ready(scan(logL, s0))
+    t0 = time.perf_counter()
+    jax.block_until_ready(scan(logL, s0))
+    return (time.perf_counter() - t0) / REPS
 
 
 def bench_copy(be):
-    @partial(jax.jit, donate_argnums=(0,))
-    def run(x):
-        with jax.enable_x64(False):
-            return pl.pallas_call(
-                _copy_kernel, grid=(E // be,), in_specs=[_mat(be)], out_specs=_mat(be),
-                out_shape=jax.ShapeDtypeStruct((E, G), jnp.float32),
-                input_output_aliases={0: 0},
-            )(x)
+    """READ-bandwidth ceiling (the rcg/EM kernels write ~nothing).
 
-    x = gamma0 + 0
-    x = run(x)
-    jax.block_until_ready(x)
-    t0 = time.perf_counter()
-    for _ in range(REPS):
-        x = run(x)
-    jax.block_until_ready(x)
-    report(f"copy be={be}", (time.perf_counter() - t0) / REPS, 2)
+    NOTE a previous version used an aliased in-place copy kernel chained
+    by donation; XLA elided the chain and reported absurd bandwidth.
+    This version chains through a scalar smem operand like _bench_exp."""
+    smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+    def run(x, s):
+        # x passed as an argument: a closed-over device array would be
+        # embedded as an MLIR constant, forcing a host fetch of the
+        # whole matrix through the tunnel at lowering time (hangs).
+        with jax.enable_x64(False):
+            out = pl.pallas_call(
+                _read_kernel, grid=(E // be,), in_specs=[_mat(be), smem],
+                out_specs=_vec(be),
+                out_shape=jax.ShapeDtypeStruct((E, 1), jnp.float32),
+            )(x, s)
+        return out[0]
+
+    report(f"read be={be}", _scan_time(run), 1)
 
 
 def _exp_kernel(x_ref, s_ref, o_ref):
-    t = x_ref[:] + s_ref[0, 0]
+    t = x_ref[:] + s_ref[0, 0] * 1e-30
     m = jnp.max(t, axis=1, keepdims=True)
     e = jnp.exp(t - m)
     o_ref[:, :] = m + jnp.log(jnp.sum(e, axis=1, keepdims=True))
@@ -123,7 +174,7 @@ def _exp_kernel(x_ref, s_ref, o_ref):
 
 def _exp2_kernel(x_ref, s_ref, o_ref):
     x = x_ref[:]
-    t = x + s_ref[0, 0]
+    t = x + s_ref[0, 0] * 1e-30
     m = jnp.max(t, axis=1, keepdims=True)
     e = jnp.exp(t - m)
     lse = m + jnp.log(jnp.sum(e, axis=1, keepdims=True))
@@ -137,67 +188,46 @@ def _exp2_kernel(x_ref, s_ref, o_ref):
 def _bench_exp(kernel, name, be):
     smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
 
-    @jax.jit
-    def run(s):
+    def run(x, s):
+        # x as an argument, not a closure constant (see bench_copy note)
         with jax.enable_x64(False):
             out = pl.pallas_call(
                 kernel, grid=(E // be,), in_specs=[_mat(be), smem],
                 out_specs=_vec(be),
                 out_shape=jax.ShapeDtypeStruct((E, 1), jnp.float32),
-            )(logL, s)
+            )(x, s)
         return out[0]  # chain on a scalar
 
-    s = jnp.zeros((1, 1), jnp.float32)
-    r = run(s)
-    jax.block_until_ready(r)
-    t0 = time.perf_counter()
-    for _ in range(REPS):
-        s = r.reshape(1, 1) * 0
-        r = run(s)
-    jax.block_until_ready(r)
-    report(f"{name} be={be}", (time.perf_counter() - t0) / REPS, 1)
+    report(f"{name} be={be}", _scan_time(run), 1)
 
 
 def bench_norm():
     """Pass 1 of the implicit step: rcg_norm(logL, counts2d, psi, c, v).
     Chained on the returned scalar so reps cannot overlap."""
 
-    @jax.jit
-    def run(c):
+    def run(L, c):
         nn, rowelbo = rcg_pallas.rcg_norm(
-            logL, counts2d, psi, c, jnp.zeros((1, G), jnp.float32)
+            L, counts2d, psi, c[0, 0], jnp.zeros((1, G), jnp.float32)
         )
-        return nn * 0 + 1.0, rowelbo  # chain: next rep's c depends on nn
+        return nn * 0 + 1.0  # chain: next rep's c depends on nn
 
-    c = jnp.float32(1.0)
-    c, rowelbo = run(c)
-    jax.block_until_ready(c)
-    t0 = time.perf_counter()
-    for _ in range(REPS):
-        c, rowelbo = run(c)
-    jax.block_until_ready(c)
-    report("rcg_norm (pass 1)", (time.perf_counter() - t0) / REPS, 1)
+    report("rcg_norm (pass 1)", _scan_time(run), 1)
+    _, rowelbo = rcg_pallas.rcg_norm(
+        logL, counts2d, psi, jnp.float32(1.0), jnp.zeros((1, G), jnp.float32)
+    )
     return rowelbo
 
 
 def bench_update(rowelbo):
     """Pass 2: rcg_update(logL, counts2d, c_new, v_new, rowelbo)."""
 
-    @jax.jit
-    def run(c):
+    def run(L, c):
         colsum, elbo = rcg_pallas.rcg_update(
-            logL, counts2d, c, jnp.zeros((1, G), jnp.float32), rowelbo
+            L, counts2d, c[0, 0], jnp.zeros((1, G), jnp.float32), rowelbo
         )
         return elbo * 0 + 1.0
 
-    c = jnp.float32(1.0)
-    c = run(c)
-    jax.block_until_ready(c)
-    t0 = time.perf_counter()
-    for _ in range(REPS):
-        c = run(c)
-    jax.block_until_ready(c)
-    report("rcg_update (pass 2)", (time.perf_counter() - t0) / REPS, 1)
+    report("rcg_update (pass 2)", _scan_time(run), 1)
 
 
 def bench_full():
