@@ -425,8 +425,7 @@ def bench_phase_e2e(n_reads=None, n_refs=512, n_groups=64):
     from msweep_tpu.core.alignment import collapse
     from msweep_tpu.core.likelihood import build_likelihood
     from msweep_tpu.inference.pack import pack_problem
-    from msweep_tpu.inference.rcg import fit_rcg
-    from msweep_tpu.inference.mixture import mixture_components
+    from msweep_tpu.inference.rcg import fit_rcg_result
     import jax
     import jax.numpy as jnp
 
@@ -449,14 +448,15 @@ def bench_phase_e2e(n_reads=None, n_refs=512, n_groups=64):
 
     t0 = time.time()
     prob = pack_problem(lik, dtype=jnp.float32)
-    gamma, it, bound = fit_rcg(prob, tol=1e-6, max_iters=2000)
-    jax.block_until_ready(gamma)
+    res = fit_rcg_result(prob, tol=1e-6, max_iters=2000)
+    jax.block_until_ready(res.n_iters)
     phases["fit_s"] = time.time() - t0
-    phases["fit_iters"] = int(it)
+    phases["fit_iters"] = int(res.n_iters)
 
+    # Abundances come straight from the O(G) optimizer state — no gamma
+    # materialization or (E, G) transfer on the plain path.
     t0 = time.time()
-    theta = mixture_components(gamma, prob.counts, prob.n_groups)
-    jax.block_until_ready(theta)
+    theta = np.asarray(res.theta)[: prob.n_groups]
     phases["abundances_s"] = time.time() - t0
     phases["n_ecs"] = ec.n_ecs
 

@@ -251,9 +251,8 @@ def _run(args, alignment_paths: list[str], log: Log) -> int:
         )
 
     from .inference import (
-        dirichlet_kld,
-        fit,
-        mixture_components,
+        dirichlet_kld_from_pseudocounts,
+        fit_result,
         pack_problem,
         rates_from_log_kld,
     )
@@ -374,7 +373,7 @@ def _run(args, alignment_paths: list[str], log: Log) -> int:
         )
         t_fit = _time.time()
         with trace_ctx:
-            gamma, n_iters, objective = fit(
+            res = fit_result(
                 problem,
                 args.algorithm,
                 tol=args.tol,
@@ -382,8 +381,9 @@ def _run(args, alignment_paths: list[str], log: Log) -> int:
                 verbose=args.verbose,
                 log=log,
             )
-            jax.block_until_ready(gamma)
+            jax.block_until_ready(res.theta)
         t_fit = _time.time() - t_fit
+        n_iters = res.n_iters
         n_it = max(int(n_iters), 1)
         log(
             f"  optimizer finished after {int(n_iters)} iterations "
@@ -398,7 +398,10 @@ def _run(args, alignment_paths: list[str], log: Log) -> int:
                 "thoroughly tested and is subject to change.\n",
                 file=sys.stderr,
             )
-            log_klds = dirichlet_kld(gamma, problem.counts)
+            # O(G): pseudo-counts a = N - alpha fall out of the optimizer
+            # state; no gamma matrix is needed (src/Sample.cpp:99-131
+            # rebuilds `a` from the probs matrix instead).
+            log_klds = dirichlet_kld_from_pseudocounts(res.pseudocounts)
             sample.log_klds = to_host(log_klds)[: problem.n_groups]
             rates = rates_from_log_kld(log_klds, problem.group_mask())
             sample.rates = to_host(rates)[: problem.n_groups]
@@ -410,10 +413,17 @@ def _run(args, alignment_paths: list[str], log: Log) -> int:
                 file=sys.stderr,
             )
 
-        theta = to_host(mixture_components(gamma, problem.counts, problem.n_groups))
-        gamma_host = to_host(gamma)[: problem.n_ecs, : problem.n_groups]
-        sample.gamma = gamma_host
+        theta = to_host(res.theta)[: problem.n_groups]
         sample.abundances = theta
+        # The (E, G) probability matrix is materialized ONLY when an
+        # output actually consumes it (probs files / binning) — a plain
+        # abundance run stays O(G) beyond logL itself, unlike the
+        # reference which always holds the full matrix
+        # (src/mSWEEP.cpp:402-423).
+        gamma_host = None
+        if args.print_probs or args.write_probs or bin_reads_mode:
+            gamma_host = to_host(res.gamma())[: problem.n_ecs, : problem.n_groups]
+            sample.gamma = gamma_host
 
         # Binning (before bootstrap, like src/mSWEEP.cpp:437-469).
         if bin_reads_mode:

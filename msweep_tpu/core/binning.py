@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .alignment import CollapsedAlignment
+from .alignment import CollapsedAlignment, _expand_runs
 
 
 def filter_target_groups(
@@ -48,13 +48,18 @@ def bin_reads(
     probs = np.exp(np.asarray(gamma, dtype=np.float64))
     thresholds = bin_thresholds(abundances)
     name_to_col = {n: j for j, n in enumerate(group_names)}
+    ptr = np.asarray(aln.ec_read_ptr, dtype=np.int64)
     out: dict[str, np.ndarray] = {}
     for t in target_names:
         j = name_to_col.get(t)
         if j is None:
             raise ValueError(f"target group {t} is not among the estimated groups")
         ecs = np.flatnonzero(probs[:, j] >= thresholds[j])
-        reads = [aln.reads_assigned_to_ec(int(e)) for e in ecs]
-        ids = np.concatenate(reads) if reads else np.empty(0, dtype=np.uint32)
+        # Gather every selected EC's read-id run with CSR pointer
+        # arithmetic (no per-EC Python loop: at reference scale this is
+        # millions of ECs x several targets).
+        starts = ptr[ecs]
+        lengths = ptr[ecs + 1] - starts
+        ids = aln.ec_read_ids[_expand_runs(starts, lengths)]
         out[t] = np.sort(ids)
     return out

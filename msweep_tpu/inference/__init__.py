@@ -14,9 +14,10 @@ collapses to one XLA program (the CLI accepts all three names).
 
 from .pack import DeviceProblem, pack_problem
 from .mixture import bound_const, mixture_components
-from .rcg import fit_rcg
-from .em import fit_em
-from .rate import dirichlet_kld, rates_from_log_kld
+from .rcg import fit_rcg, fit_rcg_result
+from .em import fit_em, fit_em_result
+from .rate import dirichlet_kld, dirichlet_kld_from_pseudocounts, rates_from_log_kld
+from .result import FitResult
 
 __all__ = [
     "DeviceProblem",
@@ -24,10 +25,15 @@ __all__ = [
     "bound_const",
     "mixture_components",
     "fit_rcg",
+    "fit_rcg_result",
     "fit_em",
+    "fit_em_result",
+    "FitResult",
     "dirichlet_kld",
+    "dirichlet_kld_from_pseudocounts",
     "rates_from_log_kld",
     "fit",
+    "fit_result",
 ]
 
 
@@ -55,4 +61,22 @@ def fit(problem, algorithm="rcg", *, tol=1e-6, max_iters=5000, verbose=False, lo
         return fit_rcg(problem, tol=tol, max_iters=max_iters, verbose=verbose)
     if name == "em":
         return fit_em(problem, tol=tol, max_iters=max_iters, verbose=verbose)
+    raise ValueError(f"unknown algorithm {algorithm}")
+
+
+def fit_result(problem, algorithm="rcg", *, tol=1e-6, max_iters=5000, verbose=False, log=None):
+    """Like `fit` but returns a FitResult: theta/pseudocounts from the
+    O(G) optimizer state, gamma materialized only via .gamma().  This is
+    the CLI's dispatch — an abundances-only run never builds an (E, G)
+    array beyond logL (the reference contract src/mSWEEP.cpp:419-423
+    only consumes theta for `_abundances.txt`)."""
+    name = {"rcgcpu": "rcg", "rcggpu": "rcg", "emgpu": "em"}.get(algorithm, algorithm)
+    if log is not None:
+        impl = pick_impl(problem)
+        shards = problem.mesh.shape["ec"] if problem.mesh is not None else 1
+        log(f"  {name} optimizer: impl={impl} dtype={problem.logL.dtype} ec_shards={shards}")
+    if name == "rcg":
+        return fit_rcg_result(problem, tol=tol, max_iters=max_iters, verbose=verbose)
+    if name == "em":
+        return fit_em_result(problem, tol=tol, max_iters=max_iters, verbose=verbose)
     raise ValueError(f"unknown algorithm {algorithm}")

@@ -233,7 +233,8 @@ def _em_final(logL, state):
     return t - lse[:, None]
 
 
-def _fit_em_arrays(logL, counts, alpha, *, tol, max_iters, verbose, chunk=16, impl=None, mesh=None):
+def _run_em_arrays(logL, counts, alpha, *, tol, max_iters, verbose, chunk=16, impl=None, mesh=None):
+    """Run the EM loop; returns the final state (theta lives in it)."""
     if impl is None:
         from .rcg import _pick_impl
 
@@ -252,8 +253,24 @@ def _fit_em_arrays(logL, counts, alpha, *, tol, max_iters, verbose, chunk=16, im
         it += n
         if tol >= 0 and bool(state.done):
             break
+    return state
+
+
+def _fit_em_arrays(logL, counts, alpha, *, tol, max_iters, verbose, chunk=16, impl=None, mesh=None):
+    state = _run_em_arrays(
+        logL, counts, alpha, tol=tol, max_iters=max_iters, verbose=verbose,
+        chunk=chunk, impl=impl, mesh=mesh,
+    )
     logp = _em_final(logL, state)
     return logp, state.it, state.objective
+
+
+@jax.jit
+def _em_state_pseudocounts(logL, theta, counts):
+    """w_g = sum_e c_e p_eg at the converged theta: ONE fused streaming
+    pass (the exp never materializes as a stored (E, G) array)."""
+    t, lse = _estep(logL, theta, logL.dtype)
+    return _colsum_acc(counts[:, None] * jnp.exp(t - lse[:, None]))
 
 
 def fit_em(
@@ -281,6 +298,47 @@ def fit_em(
         chunk=chunk,
         impl=impl,
         mesh=problem.mesh if impl.startswith("pallas") else None,
+    )
+
+
+def fit_em_result(
+    problem: DeviceProblem,
+    *,
+    tol: float = 1e-6,
+    max_iters: int = 5000,
+    verbose: bool = False,
+    counts=None,
+    chunk: int = 16,
+    impl: str | None = None,
+):
+    """Like fit_em but returns a FitResult (see rcg.fit_rcg_result):
+    abundances via one fused pass, responsibilities only on demand."""
+    from .result import FitResult
+
+    c = problem.counts if counts is None else counts
+    if impl is None:
+        from .rcg import _pick_impl
+
+        impl = _pick_impl(problem.logL, problem.mesh)
+    state = _run_em_arrays(
+        problem.logL,
+        c,
+        problem.alpha,
+        tol=float(tol),
+        max_iters=int(max_iters),
+        verbose=bool(verbose),
+        chunk=chunk,
+        impl=impl,
+        mesh=problem.mesh if impl.startswith("pallas") else None,
+    )
+    w = _em_state_pseudocounts(problem.logL, state.theta, c)
+    theta = w / jnp.sum(c.astype(acc_dtype()))
+    return FitResult(
+        theta=theta,
+        n_iters=state.it,
+        objective=state.objective,
+        pseudocounts=w,
+        _gamma_fn=lambda: _em_final(problem.logL, state),
     )
 
 

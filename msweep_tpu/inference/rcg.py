@@ -447,7 +447,7 @@ def _rcg_chunk(
     return state, hist
 
 
-def _fit_rcg_arrays(
+def _run_rcg_arrays(
     logL,
     counts,
     alpha,
@@ -460,6 +460,12 @@ def _fit_rcg_arrays(
     impl: str | None = None,
     mesh=None,
 ):
+    """Run the optimizer loop; returns (final state, implicit: bool).
+
+    The state is O(G) on the implicit path — callers that only need
+    abundances (the reference's plain `_abundances.txt` run,
+    src/mSWEEP.cpp:419-423) never touch an (E, G) array beyond logL.
+    """
     if impl is None:
         impl = _pick_impl(logL, mesh)
     implicit = impl in ("pallas", "pallas_interpret")
@@ -480,14 +486,51 @@ def _fit_rcg_arrays(
         it += n
         if tol >= 0 and bool(state.done):
             break
+    return state, implicit
+
+
+def _state_gamma(logL, state, implicit: bool):
+    """Materialize the (E, G) log-probability matrix from a final state
+    (ONE streaming pass on the implicit path; free on the explicit one)."""
     if implicit:
         from ..ops import rcg_pallas
 
-        gamma = rcg_pallas.materialize_gamma(
+        return rcg_pallas.materialize_gamma(
             logL, state.c.astype(logL.dtype), state.v.astype(logL.dtype)
         )
-        return gamma, state.it, state.bound
-    return state.gamma, state.it, state.bound
+    return state.gamma
+
+
+def _state_theta(state, counts, alpha):
+    """Abundances straight from optimizer state: theta = (N - alpha)/sum c.
+
+    By the definition of the Dirichlet posterior counts
+    N = alpha + sum_e c_e exp(gamma_e), this equals
+    rcgpar::mixture_components of the converged gamma
+    (src/mSWEEP.cpp:420) without materializing gamma — O(G) work."""
+    acc = acc_dtype()
+    csum = jnp.sum(counts.astype(acc))
+    return (state.n_counts - alpha.astype(acc)) / csum
+
+
+def _fit_rcg_arrays(
+    logL,
+    counts,
+    alpha,
+    bc,
+    *,
+    tol: float,
+    max_iters: int,
+    verbose: bool,
+    chunk: int = 16,
+    impl: str | None = None,
+    mesh=None,
+):
+    state, implicit = _run_rcg_arrays(
+        logL, counts, alpha, bc, tol=tol, max_iters=max_iters,
+        verbose=verbose, chunk=chunk, impl=impl, mesh=mesh,
+    )
+    return _state_gamma(logL, state, implicit), state.it, state.bound
 
 
 def _print_chunk_history(it0: int, hist) -> None:
@@ -537,6 +580,48 @@ def fit_rcg(
         chunk=chunk,
         impl=impl,
         mesh=problem.mesh if impl.startswith("pallas") else None,
+    )
+
+
+def fit_rcg_result(
+    problem: DeviceProblem,
+    *,
+    tol: float = 1e-6,
+    max_iters: int = 5000,
+    verbose: bool = False,
+    counts=None,
+    chunk: int = 16,
+    impl: str | None = None,
+):
+    """Like fit_rcg but returns a FitResult: abundances and pseudocounts
+    from the O(G) optimizer state, gamma materialized only on demand.
+
+    This is the CLI's path — an abundances-only run at reference scale
+    (E=2.3M x G=512) allocates nothing bigger than logL itself."""
+    from .result import FitResult
+
+    c = problem.counts if counts is None else counts
+    if impl is None:
+        impl = _pick_impl(problem.logL, problem.mesh)
+    state, implicit = _run_rcg_arrays(
+        problem.logL,
+        c,
+        problem.alpha,
+        problem.bound_const,
+        tol=float(tol),
+        max_iters=int(max_iters),
+        verbose=bool(verbose),
+        chunk=chunk,
+        impl=impl,
+        mesh=problem.mesh if impl.startswith("pallas") else None,
+    )
+    theta = _state_theta(state, c, problem.alpha)
+    return FitResult(
+        theta=theta,
+        n_iters=state.it,
+        objective=state.bound,
+        pseudocounts=state.n_counts - problem.alpha.astype(acc_dtype()),
+        _gamma_fn=lambda: _state_gamma(problem.logL, state, implicit),
     )
 
 

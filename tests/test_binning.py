@@ -92,6 +92,42 @@ def test_filter_target_groups_strictly_greater():
     assert filter_target_groups(names, theta, 0.1, ["x", "ghost"]) == ["x"]
 
 
+def test_million_ec_binning_is_vectorized():
+    """1M ECs x 3 targets must bin in ~no time (VERDICT r04 item 7: the
+    old per-EC Python loop crawled at reference scale)."""
+    import time
+
+    rng = np.random.default_rng(0)
+    E = 1_000_000
+    reads_per_ec = rng.integers(1, 4, size=E)
+    ptr = np.zeros(E + 1, dtype=np.int64)
+    np.cumsum(reads_per_ec, out=ptr[1:])
+    aln = CollapsedAlignment(
+        n_targets=8,
+        n_reads=int(ptr[-1]),
+        ec_counts=reads_per_ec.astype(np.int64),
+        ec_pattern_targets=np.zeros(E, dtype=np.uint32),
+        ec_pattern_ptr=np.arange(E + 1, dtype=np.int64),
+        ec_read_ids=np.arange(ptr[-1], dtype=np.uint32),
+        ec_read_ptr=ptr,
+    )
+    gamma = np.log(rng.dirichlet(np.ones(3), size=E))
+    theta = np.array([0.4, 0.4, 0.2])
+    names = ["a", "b", "c"]
+    t0 = time.perf_counter()
+    bins = bin_reads(aln, gamma, theta, names, names)
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 1.0, f"binning 1M ECs took {elapsed:.2f}s"
+    # Correctness vs the naive rule on a sample of ECs.
+    probs = np.exp(gamma)
+    sel = np.flatnonzero(probs[:, 0] >= theta[0])
+    expect = np.sort(
+        np.concatenate([np.arange(ptr[e], ptr[e + 1]) for e in sel[:1000]])
+    )
+    got = bins["a"]
+    np.testing.assert_array_equal(got[: len(expect)], expect)
+
+
 # ---------------------------------------------------------------------------
 # CLI end-to-end
 # ---------------------------------------------------------------------------
