@@ -126,6 +126,22 @@ def _setup_jax(args):
         jax.config.update("jax_platforms", args.backend)
     # f64 matrices need x64; enable it whenever any double path is possible.
     jax.config.update("jax_enable_x64", True)
+    # Persistent XLA compilation cache: repeated CLI invocations on the
+    # same problem shape skip the ~30 s cold compile (the reference has
+    # no compile step at all, so cold-start latency is pure regression
+    # vs it without this).  MSWEEP_COMPILE_CACHE=0 disables; any other
+    # value overrides the default directory.
+    cache_dir = os.environ.get(
+        "MSWEEP_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "msweep_tpu", "xla"),
+    )
+    if cache_dir and cache_dir != "0":
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+        except (OSError, AttributeError):
+            pass  # cache is an optimization, never a failure
     if args.distributed_coordinator:
         if args.distributed_nprocs is None or args.distributed_process_id is None:
             raise RuntimeError(

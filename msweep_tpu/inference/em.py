@@ -209,16 +209,20 @@ def _em_init(logL, counts, alpha):
 
 @partial(jax.jit, static_argnames=("length", "tol", "impl", "mesh"))
 def _em_chunk(
-    state, logL, counts, alpha, *, length: int, tol: float,
+    state, logL, counts, alpha, max_it=None, *, length: int, tol: float,
     impl: str = "xla", mesh=None,
 ):
     """Returns (state, history); history = (active, objective) per step,
-    used for host-side verbose printing (see rcg._rcg_chunk)."""
+    used for host-side verbose printing (see rcg._rcg_chunk).  `max_it`
+    (dynamic) freezes states at the iteration cap so all chunks share
+    one compiled scan length (see rcg._rcg_chunk)."""
     valid = _valid_mask(logL)
     step = _make_step(tol, valid, impl, mesh)
 
     def body(st, _):
         new = jax.lax.cond(st.done, lambda s: s, lambda s: step(s, logL, counts, alpha), st)
+        if max_it is not None:
+            new = new._replace(done=new.done | (new.it >= max_it))
         return new, (~st.done, new.objective)
 
     state, hist = jax.lax.scan(body, state, None, length=length)
@@ -241,16 +245,16 @@ def _run_em_arrays(logL, counts, alpha, *, tol, max_iters, verbose, chunk=16, im
         impl = _pick_impl(logL, mesh)
     kernel_mesh = mesh if impl.startswith("pallas") else None
     state = _em_init(logL, counts, alpha)
+    max_it = jnp.asarray(max_iters, jnp.int32)
     it = 0
     while it < max_iters:
-        n = min(chunk, max_iters - it)
         state, hist = _em_chunk(
-            state, logL, counts, alpha, length=n, tol=float(tol),
+            state, logL, counts, alpha, max_it, length=chunk, tol=float(tol),
             impl=impl, mesh=kernel_mesh,
         )
         if verbose:
             _print_chunk_history(it, hist)
-        it += n
+        it += chunk
         if tol >= 0 and bool(state.done):
             break
     return state
@@ -363,15 +367,16 @@ def fit_em_batch(problem: DeviceProblem, counts_batch, *, tol=1e-6, max_iters=50
     fit_rcg_batch's interface (abundances, not responsibilities)."""
     init = jax.vmap(lambda c: _em_init(problem.logL, c, problem.alpha))
     state = init(counts_batch)
+    max_it = jnp.asarray(max_iters, jnp.int32)
     it = 0
     while it < max_iters:
-        n = min(chunk, max_iters - it)
         state = jax.vmap(
             lambda st, c: _em_chunk(
-                st, problem.logL, c, problem.alpha, length=n, tol=float(tol)
+                st, problem.logL, c, problem.alpha, max_it,
+                length=chunk, tol=float(tol)
             )[0]
         )(state, counts_batch)
-        it += n
+        it += chunk
         if bool(jnp.all(state.done)):
             break
     theta = _em_final_theta(problem.logL, state.theta, counts_batch)

@@ -420,7 +420,7 @@ def _guarded_step(step, st, *args):
 
 @partial(jax.jit, static_argnames=("length", "tol", "impl", "mesh"))
 def _rcg_chunk(
-    state, logL, counts, alpha, *, length: int, tol: float,
+    state, logL, counts, alpha, max_it=None, *, length: int, tol: float,
     impl: str = "xla", mesh=None,
 ):
     """length iterations as one on-device lax.scan.
@@ -430,6 +430,12 @@ def _rcg_chunk(
     diagnostics (jax.debug.print would need host callbacks, which
     remote-dispatch TPU backends do not support).  Frozen (converged)
     steps have active=False.
+
+    `max_it` (dynamic int32, optional) freezes the state once it
+    reaches that iteration count: the host loop always scans the SAME
+    static `length`, so every chunk — including the final partial one —
+    hits one jit cache entry (a distinct final length used to cost a
+    full recompile per distinct max_iters).
     """
     if impl in ("pallas", "pallas_interpret"):
         step = _make_step_implicit(tol, interpret=(impl == "pallas_interpret"),
@@ -441,6 +447,8 @@ def _rcg_chunk(
 
     def body(st, _):
         new = _guarded_step(step, st, *args)
+        if max_it is not None:
+            new = new._replace(done=new.done | (new.it >= max_it))
         return new, (~st.done, new.bound, new.just_reset)
 
     state, hist = jax.lax.scan(body, state, None, length=length)
@@ -473,17 +481,20 @@ def _run_rcg_arrays(
         state = _rcg_init_implicit(logL, counts, alpha, bc)
     else:
         state = _rcg_init(logL, counts, alpha, bc)
+    # Fixed-length chunks with a DYNAMIC iteration cap: every chunk —
+    # including the final partial one — reuses one compiled scan (the
+    # cap freezes states at max_iters inside the chunk).
+    max_it = jnp.asarray(max_iters, jnp.int32)
     it = 0
     while it < max_iters:
-        n = min(chunk, max_iters - it)
         state, hist = _rcg_chunk(
-            state, logL, counts, alpha, length=n, tol=float(tol),
+            state, logL, counts, alpha, max_it, length=chunk, tol=float(tol),
             impl=impl,
             mesh=mesh if implicit else None,
         )
         if verbose:
             _print_chunk_history(it, hist)
-        it += n
+        it += chunk
         if tol >= 0 and bool(state.done):
             break
     return state, implicit
@@ -781,16 +792,19 @@ def _rcg_init_implicit_batch(logL, countsT, alpha, bound_const0, asum0, csum0):
 
 @partial(jax.jit, static_argnames=("length", "tol", "interpret", "mesh"))
 def _rcg_chunk_batch(
-    state, logL, countsT, alpha, *, length: int, tol: float,
+    state, logL, countsT, alpha, max_it=None, *, length: int, tol: float,
     interpret: bool = False, mesh=None,
 ):
     """length batched iterations as one on-device lax.scan; replicates
     that converged freeze (per-replicate where, not cond — done is a
-    (B,) vector)."""
+    (B,) vector).  `max_it` as in _rcg_chunk (single compile for all
+    chunks)."""
     step = _make_step_implicit_batch(tol, interpret, mesh)
 
     def body(st, _):
         new = step(st, logL, countsT, alpha)
+        if max_it is not None:
+            new = new._replace(done=new.done | (new.it >= max_it))
 
         def keep(old, nw):
             m = st.done
@@ -851,14 +865,15 @@ def fit_rcg_batch(
         state = _rcg_init_implicit_batch(
             logL, countsT, problem.alpha, problem.bound_const, asum0, csum0
         )
+        max_it = jnp.asarray(max_iters, jnp.int32)
         it = 0
         while it < max_iters:
-            n = min(chunk, max_iters - it)
             state = _rcg_chunk_batch(
-                state, logL, countsT, problem.alpha, length=n, tol=float(tol),
+                state, logL, countsT, problem.alpha, max_it,
+                length=chunk, tol=float(tol),
                 interpret=(impl == "pallas_interpret"), mesh=mesh,
             )
-            it += n
+            it += chunk
             if tol >= 0 and bool(jnp.all(state.done)):
                 break
         csum_b = jnp.sum(countsT.astype(acc), axis=0)
@@ -868,15 +883,16 @@ def fit_rcg_batch(
     # XLA fallback: vmapped explicit step (CPU / f64 validation path).
     init = jax.vmap(lambda c: _rcg_init(problem.logL, c, problem.alpha, problem.bound_const))
     state = init(counts_batch)
+    max_it = jnp.asarray(max_iters, jnp.int32)
     it = 0
     while it < max_iters:
-        n = min(chunk, max_iters - it)
         state = jax.vmap(
             lambda st, c: _rcg_chunk(
-                st, problem.logL, c, problem.alpha, length=n, tol=float(tol)
+                st, problem.logL, c, problem.alpha, max_it,
+                length=chunk, tol=float(tol)
             )[0]
         )(state, counts_batch)
-        it += n
+        it += chunk
         if bool(jnp.all(state.done)):
             break
     theta = jax.vmap(mixture_components)(state.gamma, counts_batch)

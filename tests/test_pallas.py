@@ -285,9 +285,12 @@ def test_em_fit_mesh_dispatch():
 
     em_mod._make_kernels, saved = spy, orig
     try:
+        # chunk=5 gives this call a unique static scan length, so the
+        # jit cache can't serve a pre-spy compilation (chunks are now
+        # fixed-length across the whole fit, shared via max_it).
         _fit_em_arrays(
             logL_s, counts_s, alpha_s, tol=-1.0, max_iters=2, verbose=False,
-            impl="pallas_interpret", mesh=mesh,
+            impl="pallas_interpret", mesh=mesh, chunk=5,
         )
     finally:
         em_mod._make_kernels = saved
