@@ -144,6 +144,27 @@ class BitMagicFormatError(ValueError):
     """Raised when a stream is malformed or uses an unsupported feature."""
 
 
+def _strict_mode() -> bool:
+    """MSWEEP_BM_STRICT=1 refuses the medium-LOW-confidence opcodes
+    (bienc v1/v2, digest0) whose reconstructed bit layout has not been
+    validated against a real bm::deserialize (COMPAT.md section 5) —
+    restoring the hard unsupported-opcode error for users who prefer a
+    loud failure over a small risk of plausible-looking mis-decode."""
+    import os
+
+    return os.environ.get("MSWEEP_BM_STRICT", "") == "1"
+
+
+def _strict_reject(op: int, pos: int) -> None:
+    if _strict_mode():
+        raise BitMagicFormatError(
+            f"BitMagic opcode {op} at byte {pos} uses a reconstructed "
+            "bit layout not yet validated against a real BitMagic build "
+            "and MSWEEP_BM_STRICT=1 is set; unset it to accept, or "
+            "re-pack the alignment with a lower compression level"
+        )
+
+
 # ---------------------------------------------------------------------------
 # primitive readers
 # ---------------------------------------------------------------------------
@@ -476,7 +497,10 @@ def _decode_gap_bienc_v2_payload(dec: _Dec) -> np.ndarray:
         raise BitMagicFormatError("bad bienc-v2 GAP block header")
     min_v = dec.u8()
     max_v = (GAP_MAX_BITS - 1) - dec.u8()
-    if max_v <= min_v:
+    # A tail delta of 0 would duplicate the implied 65535 terminator —
+    # a corrupt (or mis-framed) stream, rejected loudly like the BIC
+    # range checks.
+    if max_v <= min_v or max_v >= GAP_MAX_BITS - 1:
         raise BitMagicFormatError("bad bienc-v2 GAP block bounds")
     vals: list = [min_v]
     n_interior = total - 4  # after the first, before the last + terminator
@@ -484,6 +508,8 @@ def _decode_gap_bienc_v2_payload(dec: _Dec) -> np.ndarray:
         bin_ = _BitIn(dec)
         _bic_decode(bin_, n_interior, min_v + 1, max_v - 1, vals)
     boundaries = np.asarray(vals + [max_v, GAP_MAX_BITS - 1], dtype=np.uint32)
+    if np.any(boundaries[1:] <= boundaries[:-1]):
+        raise BitMagicFormatError("bienc-v2 GAP boundaries not increasing")
     return _gap_to_positions(head, boundaries)
 
 
@@ -713,24 +739,31 @@ def deserialize(buf, size_hint: int | None = None) -> tuple[np.ndarray, int]:
             emit(i, _decode_bit_0runs(dec))
             i += 1
         elif op == SET_BLOCK_ARR_BIENC:
+            _strict_reject(op, dec.pos - 1)
             emit(i, _decode_bienc_array(dec))
             i += 1
         elif op == SET_BLOCK_ARR_BIENC_INV:
+            _strict_reject(op, dec.pos - 1)
             emit(i, _invert_positions(_decode_bienc_array(dec)))
             i += 1
         elif op in (SET_BLOCK_GAP_BIENC, SET_BLOCK_BITGAP_BIENC):
+            _strict_reject(op, dec.pos - 1)
             emit(i, _decode_gap_bienc_payload(dec))
             i += 1
         elif op == SET_BLOCK_ARR_BIENC_V2:
+            _strict_reject(op, dec.pos - 1)
             emit(i, _decode_bienc_array_v2(dec))
             i += 1
         elif op == SET_BLOCK_ARR_BIENC_INV_V2:
+            _strict_reject(op, dec.pos - 1)
             emit(i, _invert_positions(_decode_bienc_array_v2(dec)))
             i += 1
         elif op in (SET_BLOCK_GAP_BIENC_V2, SET_BLOCK_BITGAP_BIENC_V2):
+            _strict_reject(op, dec.pos - 1)
             emit(i, _decode_gap_bienc_v2_payload(dec))
             i += 1
         elif op == SET_BLOCK_BIT_DIGEST0:
+            _strict_reject(op, dec.pos - 1)
             emit(i, _decode_bit_digest0(dec))
             i += 1
         else:

@@ -310,6 +310,32 @@ def test_decode_gap_bienc_v2_hand_fixture():
     assert pos.tolist() == [5, 6, 7, 8, 9] + list(range(65530, 65536))
 
 
+def test_gap_bienc_v2_zero_tail_delta_rejected():
+    # tail delta 0 would make the last explicit boundary duplicate the
+    # implied 65535 terminator — corrupt, must fail loudly (ADVICE r04).
+    buf = header64(bmg.BLOCK_BITS)
+    buf += bytes([bmg.SET_BLOCK_GAP_BIENC_V2]) + u16(4 << 3) + bytes([4, 0])
+    buf += struct.pack("<I", 4)
+    buf += bytes([bmg.SET_BLOCK_END])
+    with pytest.raises(bmg.BitMagicFormatError, match="bounds"):
+        bmg.deserialize(buf)
+
+
+def test_strict_mode_rejects_unvalidated_opcodes(monkeypatch):
+    # MSWEEP_BM_STRICT=1 restores the hard error on the opcodes whose
+    # reconstructed layout is unvalidated against a real bm build.
+    buf = header64(bmg.BLOCK_BITS)
+    buf += bytes([bmg.SET_BLOCK_GAP_BIENC_V2]) + u16(4 << 3) + bytes([4, 6])
+    buf += struct.pack("<I", 4)
+    buf += bytes([bmg.SET_BLOCK_END])
+    monkeypatch.setenv("MSWEEP_BM_STRICT", "1")
+    with pytest.raises(bmg.BitMagicFormatError, match="MSWEEP_BM_STRICT"):
+        bmg.deserialize(buf)
+    monkeypatch.delenv("MSWEEP_BM_STRICT")
+    pos, _ = bmg.deserialize(buf)  # permissive default still decodes
+    assert len(pos)
+
+
 def test_decode_bitgap_bienc_v2_same_payload():
     buf = header64(bmg.BLOCK_BITS)
     buf += bytes([bmg.SET_BLOCK_BITGAP_BIENC_V2]) + u16(4 << 3) + bytes([4, 6])

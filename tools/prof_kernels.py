@@ -209,7 +209,9 @@ def bench_norm():
         nn, rowelbo = rcg_pallas.rcg_norm(
             L, counts2d, psi, c[0, 0], jnp.zeros((1, G), jnp.float32)
         )
-        return nn * 0 + 1.0  # chain: next rep's c depends on nn
+        # chain: next rep's c genuinely depends on nn (a `* 0` fold here
+        # would let XLA constant-fold the carry and dead-code the kernel)
+        return nn * 1e-30 + 1.0
 
     report("rcg_norm (pass 1)", _scan_time(run), 1)
     _, rowelbo = rcg_pallas.rcg_norm(
@@ -225,7 +227,7 @@ def bench_update(rowelbo):
         colsum, elbo = rcg_pallas.rcg_update(
             L, counts2d, c[0, 0], jnp.zeros((1, G), jnp.float32), rowelbo
         )
-        return elbo * 0 + 1.0
+        return elbo * 1e-30 + 1.0  # genuine data dependence (see bench_norm)
 
     report("rcg_update (pass 2)", _scan_time(run), 1)
 
