@@ -243,6 +243,8 @@ def _run_em_arrays(logL, counts, alpha, *, tol, max_iters, verbose, chunk=16, im
         from .rcg import _pick_impl
 
         impl = _pick_impl(logL, mesh)
+    if impl == "xla64":
+        impl = "xla"  # rcg-only implicit-f64 step; EM's xla step handles f64
     kernel_mesh = mesh if impl.startswith("pallas") else None
     state = _em_init(logL, counts, alpha)
     max_it = jnp.asarray(max_iters, jnp.int32)

@@ -225,8 +225,11 @@ def _make_step(tol: float):
     return step
 
 
-def _make_kernels(mesh, interpret):
-    """The fused-Pallas pair of passes for one implicit iteration.
+def _make_kernels(mesh, interpret, xla64: bool = False):
+    """The fused pair of passes for one implicit iteration.
+
+    `xla64` selects the jnp twins (ops/rcg_xla.py) that run the same
+    math in f64 — the precision-escalation tail (Mosaic has no f64).
 
     With a mesh, the kernel calls run under shard_map over the "ec"
     axis: each device runs the fused kernels on its EC shard and the
@@ -236,25 +239,30 @@ def _make_kernels(mesh, interpret):
     per-row old data term threaded from pass 1 to pass 2) stays
     shard-local.
     """
-    from ..ops import rcg_pallas
+    if xla64:
+        from ..ops import rcg_xla as kernel_mod
+
+        kern_norm = kernel_mod.rcg_norm
+        kern_update = kernel_mod.rcg_update
+    else:
+        from ..ops import rcg_pallas
+
+        kern_norm = partial(rcg_pallas.rcg_norm, interpret=interpret)
+        kern_update = partial(rcg_pallas.rcg_update, interpret=interpret)
 
     acc = acc_dtype()
 
     def norm_pass(logL, counts2d, psi, c, v):
-        newnorm_f32, rowelbo = rcg_pallas.rcg_norm(
-            logL, counts2d, psi, c, v, interpret=interpret
-        )
-        newnorm = newnorm_f32.astype(acc)
+        newnorm_raw, rowelbo = kern_norm(logL, counts2d, psi, c, v)
+        newnorm = newnorm_raw.astype(acc)
         if mesh is not None:
             newnorm = jax.lax.psum(newnorm, "ec")
         return newnorm, rowelbo
 
     def update_pass(logL, counts2d, c_new, v_new, rowelbo):
-        colsum, elbo_f32 = rcg_pallas.rcg_update(
-            logL, counts2d, c_new, v_new, rowelbo, interpret=interpret
-        )
+        colsum, elbo_raw = kern_update(logL, counts2d, c_new, v_new, rowelbo)
         colsum = colsum.astype(acc)
-        elbo_delta = elbo_f32.astype(acc)
+        elbo_delta = elbo_raw.astype(acc)
         if mesh is not None:
             colsum = jax.lax.psum(colsum, "ec")
             elbo_delta = jax.lax.psum(elbo_delta, "ec")
@@ -282,14 +290,51 @@ def _make_kernels(mesh, interpret):
     return norm_pass, update_pass
 
 
-def _make_step_implicit(tol: float, interpret: bool, mesh=None):
+def _make_bound_eval(mesh):
+    """Exact-f64 ELBO statistics at gamma = (c, v): ONE blocked pass
+    (ops/rcg_xla.rcg_bound_stats), psum-merged under a mesh.  The blind
+    escalation tail's convergence supervisor."""
+    from ..ops import rcg_xla
+
+    def eval_(logL, counts2d, c, v):
+        data, colsum = rcg_xla.rcg_bound_stats(logL, counts2d, c, v)
+        if mesh is not None:
+            data = jax.lax.psum(data, "ec")
+            colsum = jax.lax.psum(colsum, "ec")
+        return data, colsum
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        eval_ = shard_map(
+            eval_, mesh=mesh,
+            in_specs=(P("ec", None), P("ec", None), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    return eval_
+
+
+def _make_step_implicit(tol: float, interpret: bool, mesh=None, xla64: bool = False,
+                        blind_tau=None):
     """One implicit iteration: two streaming passes + O(G) coefficient
-    recursion (see ops/rcg_pallas.py for the derivation)."""
+    recursion (see ops/rcg_pallas.py for the derivation).  With `xla64`
+    the passes run in f64 (precision-escalation tail) while logL stays
+    in its compact dtype.
+
+    `blind_tau` (traced scalar) puts the step in BLIND mode for the
+    fast escalation tail: the f32 delta estimate is pure noise there,
+    so the step never declares convergence itself (an f64 supervisor
+    does, see _run_rcg_arrays) and reverts only on decreases larger
+    than tau — the measured noise scale — so noise-positive/negative
+    jitter no longer stalls the iterate the way the strict
+    revert-on-any-decrease rule does at the floor."""
     acc = acc_dtype()
-    norm_pass, update_pass = _make_kernels(mesh, interpret)
+    norm_pass, update_pass = _make_kernels(mesh, interpret, xla64)
 
     def step(st: RCGImplicitState, logL, counts2d, alpha):
-        dtype = logL.dtype
+        dtype = acc if xla64 else logL.dtype
         psi = digamma(st.n_counts)
         psi32 = psi.astype(dtype)[None, :]
         c32 = st.c.astype(dtype)
@@ -318,8 +363,12 @@ def _make_step_implicit(tol: float, interpret: bool, mesh=None):
         delta = elbo_delta + dirichlet_delta
         bound_new = st.bound + delta
 
-        decreased = delta < 0
-        newly_done = _converged(tol, delta, decreased, st.just_reset)
+        if blind_tau is not None:
+            decreased = delta < -blind_tau
+            newly_done = jnp.zeros((), bool)  # supervisor decides
+        else:
+            decreased = delta < 0
+            newly_done = _converged(tol, delta, decreased, st.just_reset)
 
         # Accept/revert on O(G) state: effectively free, unlike the
         # explicit impl's full-matrix cond.  On revert (e, f) keep stale
@@ -399,17 +448,17 @@ def _rcg_init_implicit(logL, counts, alpha, bc):
 
 def _pick_impl(logL, mesh=None) -> str:
     """Fused Pallas step on TPU with f32 matrices — single chip or an
-    "ec"-axis mesh (shard_map + psum); plain XLA otherwise (CPU and f64
-    validation runs)."""
+    "ec"-axis mesh (shard_map + psum).  f64 matrices on TPU use the
+    implicit XLA-f64 step ("xla64": same O(G) state, Mosaic has no
+    f64).  Plain explicit XLA otherwise (CPU validation runs)."""
     from ..ops import rcg_pallas
 
     mesh_ok = mesh is None or tuple(mesh.axis_names) == ("ec",)
-    if (
-        jax.default_backend() == "tpu"
-        and mesh_ok
-        and rcg_pallas.supports(logL)
-    ):
-        return "pallas"
+    if jax.default_backend() == "tpu" and mesh_ok:
+        if rcg_pallas.supports(logL):
+            return "pallas"
+        if logL.dtype == jnp.float64:
+            return "xla64"
     return "xla"
 
 
@@ -420,8 +469,8 @@ def _guarded_step(step, st, *args):
 
 @partial(jax.jit, static_argnames=("length", "tol", "impl", "mesh"))
 def _rcg_chunk(
-    state, logL, counts, alpha, max_it=None, *, length: int, tol: float,
-    impl: str = "xla", mesh=None,
+    state, logL, counts, alpha, max_it=None, blind_tau=None, *, length: int,
+    tol: float, impl: str = "xla", mesh=None,
 ):
     """length iterations as one on-device lax.scan.
 
@@ -437,9 +486,10 @@ def _rcg_chunk(
     hits one jit cache entry (a distinct final length used to cost a
     full recompile per distinct max_iters).
     """
-    if impl in ("pallas", "pallas_interpret"):
+    if impl in ("pallas", "pallas_interpret", "xla64"):
         step = _make_step_implicit(tol, interpret=(impl == "pallas_interpret"),
-                                   mesh=mesh)
+                                   mesh=mesh, xla64=(impl == "xla64"),
+                                   blind_tau=blind_tau)
         args = (logL, counts[:, None].astype(logL.dtype), alpha)
     else:
         step = _make_step(tol)
@@ -467,16 +517,31 @@ def _run_rcg_arrays(
     chunk: int = 16,
     impl: str | None = None,
     mesh=None,
+    refine: bool = True,
 ):
     """Run the optimizer loop; returns (final state, implicit: bool).
 
     The state is O(G) on the implicit path — callers that only need
     abundances (the reference's plain `_abundances.txt` run,
     src/mSWEEP.cpp:419-423) never touch an (E, G) array beyond logL.
+
+    PRECISION ESCALATION (`refine`, default on): the f32 Pallas path
+    stops either at true tol convergence or at its numerical floor —
+    per-iteration ELBO deltas below the f32 row-differencing noise
+    (~1e-3 absolute at reference scale) are unobservable, which fires
+    the `decreased & just_reset` branch of _converged with the last
+    accepted delta still above tol.  When that happens, the SAME
+    implicit O(G) iteration continues with f64 arithmetic
+    (ops/rcg_xla.py; logL stays f32 and upcasts in-stream) until the
+    true tol.  On reference-conditioned problems this is the difference
+    between ~75 floor iterations with theta off by ~3e-3 and the
+    honest ~220-240 iterations the reference's all-double rcggpu run
+    also needs (docs/gpubenchmarks.md:18) — at a fraction of its
+    memory and time, since only the tail pays f64 cost.
     """
     if impl is None:
         impl = _pick_impl(logL, mesh)
-    implicit = impl in ("pallas", "pallas_interpret")
+    implicit = impl in ("pallas", "pallas_interpret", "xla64")
     if implicit:
         state = _rcg_init_implicit(logL, counts, alpha, bc)
     else:
@@ -497,7 +562,147 @@ def _run_rcg_arrays(
         it += chunk
         if tol >= 0 and bool(state.done):
             break
+
+    if (
+        refine
+        and tol >= 0
+        and impl in ("pallas", "pallas_interpret")
+        and acc_dtype() == jnp.float64  # escalation needs x64 enabled
+        and bool(state.done)
+        and not (0 <= float(state.delta) < tol)  # floor stop, not true tol
+    ):
+        state, it = _escalate(
+            state, logL, counts, alpha, bc, it=it, max_it=max_it,
+            max_iters=max_iters, tol=float(tol), chunk=chunk, impl=impl,
+            mesh=mesh, verbose=verbose, exact=(refine == "exact"),
+        )
     return state, implicit
+
+
+def _escalate(
+    state, logL, counts, alpha, bc, *, it, max_it, max_iters, tol, chunk,
+    impl, mesh, verbose, exact=False,
+):
+    """Past-the-floor refinement to honest f64 convergence.
+
+    Default ("fast"): BLIND f32 chunks supervised by periodic exact-f64
+    ELBO evaluations.  Past the floor the f32 iterate map is still
+    accurate (its output noise in theta terms is ~1e-10 — only the
+    DELTA estimate is noise), so the tail runs the cheap f32 kernels
+    with revert thresholded at the measured noise scale and no
+    self-stopping; every `chunk` iterations one f64 pass computes the
+    exact bound, and the fit stops when the supervised per-iteration
+    improvement drops below tol.  If a supervision window ever shows a
+    net DECREASE (blind CG went unstable — not observed in practice),
+    the window is rolled back and the tail falls back to full-f64
+    stepping (`exact=True` path), which is the all-double formulation
+    at ~0.7 s/iteration vs the A100's 0.2 (docs/gpubenchmarks.md:18);
+    the fast tail costs f32 iterations (~6 ms at reference scale) plus
+    one f64 pass per window.
+    """
+    acc = acc_dtype()
+    if verbose:
+        print(
+            f"  f32 numerical floor at iter {int(state.it)} "
+            f"(last accepted delta {float(state.delta):.3e}); escalating "
+            f"({'exact-f64 tail' if exact else 'blind-f32 tail, f64 supervision'})",
+            file=sys.stderr,
+        )
+    counts2d = counts[:, None].astype(logL.dtype)
+    bound_eval = _make_bound_eval(mesh)
+
+    def exact_stats(st):
+        data, colsum = bound_eval(logL, counts2d, st.c, st.v)
+        n64 = alpha.astype(acc) + colsum
+        bound = jnp.asarray(bc, acc) + jnp.sum(gammaln(n64)) + data
+        return bound, n64
+
+    # Re-anchor in f64: the f32-era n_counts carries ~1e-7-relative
+    # rounding which, through lgamma at N ~ 1e4, injects O(1) spurious
+    # deltas — enough to make the first honest f64 step look like a
+    # decrease and re-fire the floor stop.
+    bound0, n64 = exact_stats(state)
+    state = state._replace(
+        n_counts=n64,
+        bound=bound0,
+        done=jnp.zeros((), bool),
+        just_reset=jnp.ones((), bool),  # restart momentum cleanly
+        oldnorm=jnp.ones((), acc),
+    )
+
+    if not exact:
+        d0 = float(state.delta)
+        import math
+
+        tau = jnp.asarray(
+            4.0 * abs(d0) if math.isfinite(d0) else 0.0, acc
+        )
+        bound_prev = float(bound0)
+        while it < max_iters:
+            ckpt = state
+            prev_it = int(state.it)
+            state, hist = _rcg_chunk(
+                state, logL, counts, alpha, max_it, tau, length=chunk,
+                tol=tol, impl=impl, mesh=mesh,
+            )
+            if verbose:
+                _print_chunk_history(it, hist)
+            it += chunk
+            steps = int(state.it) - prev_it
+            if steps == 0:
+                break  # max_it freeze
+            bound_now_arr, n64 = exact_stats(state)
+            bound_now = float(bound_now_arr)
+            davg = (bound_now - bound_prev) / steps
+            if bound_now < bound_prev:
+                # blind window went downhill: roll back, go exact
+                state = ckpt
+                it -= chunk
+                if verbose:
+                    print(
+                        f"  blind window decreased the bound by "
+                        f"{bound_prev - bound_now:.3e}; falling back to "
+                        "exact f64 stepping",
+                        file=sys.stderr,
+                    )
+                break
+            state = state._replace(
+                n_counts=n64, bound=bound_now_arr,
+                delta=jnp.asarray(davg, acc),
+            )
+            if verbose:
+                print(
+                    f"  iter {int(state.it)}  f64 bound {bound_now}  "
+                    f"(avg delta/iter {davg:.3e})",
+                    file=sys.stderr,
+                )
+            if davg < tol:
+                # Blind phase done — fall through to a short exact-f64
+                # POLISH: the blind iterate inherits a small fixed-point
+                # bias from f32 psi noise (~1e-5 in theta); the exact
+                # tail below applies the true per-iteration criterion
+                # and typically fires within a few windows.
+                break
+            bound_prev = bound_now
+        if bool(state.done) or it >= max_iters:
+            return state, it
+        # exact-f64 tail: polish after blind convergence, or full
+        # fallback after a rollback
+        state = state._replace(
+            just_reset=jnp.ones((), bool), oldnorm=jnp.ones((), acc)
+        )
+
+    while it < max_iters:
+        state, hist = _rcg_chunk(
+            state, logL, counts, alpha, max_it, length=chunk,
+            tol=tol, impl="xla64", mesh=mesh,
+        )
+        if verbose:
+            _print_chunk_history(it, hist)
+        it += chunk
+        if bool(state.done):
+            break
+    return state, it
 
 
 def _state_gamma(logL, state, implicit: bool):
@@ -536,10 +741,11 @@ def _fit_rcg_arrays(
     chunk: int = 16,
     impl: str | None = None,
     mesh=None,
+    refine: bool = True,
 ):
     state, implicit = _run_rcg_arrays(
         logL, counts, alpha, bc, tol=tol, max_iters=max_iters,
-        verbose=verbose, chunk=chunk, impl=impl, mesh=mesh,
+        verbose=verbose, chunk=chunk, impl=impl, mesh=mesh, refine=refine,
     )
     return _state_gamma(logL, state, implicit), state.it, state.bound
 
@@ -568,6 +774,7 @@ def fit_rcg(
     counts=None,
     chunk: int = 16,
     impl: str | None = None,
+    refine: bool = True,
 ):
     """Run rcg on a packed problem. Returns (gamma, n_iters, bound).
 
@@ -575,7 +782,8 @@ def fit_rcg(
     problem.n_ecs/n_groups when materializing outputs); `counts`
     optionally overrides problem.counts (bootstrap replicates).
     `impl` None = auto: fused Pallas kernels on TPU (shard_map + psum on
-    an "ec" mesh), XLA elsewhere.
+    an "ec" mesh) with f64 escalation past the f32 floor (`refine`),
+    implicit XLA-f64 for double matrices on TPU, explicit XLA elsewhere.
     """
     c = problem.counts if counts is None else counts
     if impl is None:
@@ -590,7 +798,8 @@ def fit_rcg(
         verbose=bool(verbose),
         chunk=chunk,
         impl=impl,
-        mesh=problem.mesh if impl.startswith("pallas") else None,
+        mesh=problem.mesh if impl != "xla" else None,
+        refine=refine,
     )
 
 
@@ -603,6 +812,7 @@ def fit_rcg_result(
     counts=None,
     chunk: int = 16,
     impl: str | None = None,
+    refine: bool = True,
 ):
     """Like fit_rcg but returns a FitResult: abundances and pseudocounts
     from the O(G) optimizer state, gamma materialized only on demand.
@@ -624,7 +834,8 @@ def fit_rcg_result(
         verbose=bool(verbose),
         chunk=chunk,
         impl=impl,
-        mesh=problem.mesh if impl.startswith("pallas") else None,
+        mesh=problem.mesh if impl != "xla" else None,
+        refine=refine,
     )
     theta = _state_theta(state, c, problem.alpha)
     return FitResult(

@@ -48,6 +48,7 @@ def make_community(
     similarity: float = 0.9,
     background_rate: float = 0.02,
     count_tail: float = 1.3,
+    present_frac: float = 1.0,
     seed: int = 0,
 ) -> tuple[CollapsedAlignment, np.ndarray, np.ndarray]:
     """Returns (collapsed alignment, group_indicators, group_sizes).
@@ -56,6 +57,13 @@ def make_community(
     probability is hit_rate * similarity, so at ~0.9 their columns are
     nearly collinear with the source group's (the slow-convergence
     regime the reference benchmark lives in).
+
+    `present_frac` < 1 makes most reference lineages ABSENT from the
+    community while their near-identical siblings are present — the
+    optimizer must then drive hundreds of components to zero through
+    nearly flat valleys, which is the classic slow mode of EM/VB and
+    (with similarity) what pushes iteration counts toward the
+    reference's 205-225.
     """
     rng = np.random.default_rng(seed)
     assert G % cluster_size == 0, "G must be a multiple of cluster_size"
@@ -69,8 +77,16 @@ def make_community(
     n_refs = int(offsets[-1])
     indicators = np.repeat(np.arange(G, dtype=np.int64), sizes)
 
-    # Heavy-tailed true mixture over groups.
+    # Heavy-tailed true mixture over groups; with present_frac < 1 only
+    # a random subset of lineages is actually in the community.
     theta = rng.dirichlet(np.full(G, 0.2))
+    if present_frac < 1.0:
+        n_present = max(2, int(round(G * present_frac)))
+        present = rng.choice(G, size=n_present, replace=False)
+        m = np.zeros(G)
+        m[present] = 1.0
+        theta = theta * m
+        theta /= theta.sum()
 
     # Source group per EC; cluster id of each group.
     src = rng.choice(G, size=E, p=theta)
@@ -95,7 +111,11 @@ def make_community(
     bg_hit = (rng.random(E) < background_rate) & (
         cluster_of[bg_group] != cluster_of[src]
     )
-    k_bg = np.where(bg_hit, rng.binomial(sizes[bg_group], 0.3) + 1, 0)
+    k_bg = np.where(
+        bg_hit,
+        np.minimum(rng.binomial(sizes[bg_group], 0.3) + 1, sizes[bg_group]),
+        0,
+    )
 
     # Assemble the CSR pattern: for each (EC, group) with k>0, the first
     # k sequence ids of that group.
@@ -120,6 +140,7 @@ def make_community(
     expand[boundary] = starts[1:] - (starts[:-1] + k_all[:-1] - 1)
     targets = np.cumsum(expand).astype(np.uint32)
 
+    assert targets.max(initial=0) < n_refs, "hit-count exceeded group size"
     per_ec = np.bincount(e_all, weights=k_all, minlength=E).astype(np.int64)
     ec_ptr = np.zeros(E + 1, dtype=np.int64)
     np.cumsum(per_ec, out=ec_ptr[1:])

@@ -331,4 +331,6 @@ def test_dtype_and_impl_selection(monkeypatch):
     assert _pick_impl(f32) == "xla"  # CPU backend in tests
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert _pick_impl(f32) == "pallas"
-    assert _pick_impl(f64) == "xla"
+    # f64 on TPU uses the implicit XLA-f64 step (O(G) state, no Mosaic
+    # f64) since round 5; CPU keeps the explicit reference path.
+    assert _pick_impl(f64) == "xla64"
