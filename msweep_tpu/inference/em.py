@@ -286,10 +286,14 @@ def fit_em(
     max_iters: int = 5000,
     verbose: bool = False,
     counts=None,
-    chunk: int = 16,
+    chunk: int | None = None,
     impl: str | None = None,
 ):
     c = problem.counts if counts is None else counts
+    if chunk is None:
+        from .pack import auto_chunk
+
+        chunk = auto_chunk(problem.logL)
     if impl is None:
         from .rcg import _pick_impl
 
@@ -314,7 +318,7 @@ def fit_em_result(
     max_iters: int = 5000,
     verbose: bool = False,
     counts=None,
-    chunk: int = 16,
+    chunk: int | None = None,
     impl: str | None = None,
 ):
     """Like fit_em but returns a FitResult (see rcg.fit_rcg_result):
@@ -322,6 +326,10 @@ def fit_em_result(
     from .result import FitResult
 
     c = problem.counts if counts is None else counts
+    if chunk is None:
+        from .pack import auto_chunk
+
+        chunk = auto_chunk(problem.logL)
     if impl is None:
         from .rcg import _pick_impl
 

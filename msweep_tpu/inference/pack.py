@@ -52,6 +52,14 @@ class DeviceProblem:
 
 def pad_dims(n_ecs: int, n_groups: int, n_shards: int = 1) -> tuple[int, int]:
     e_pad = round_up(max(n_ecs, 1), SUBLANE * n_shards)
+    if e_pad > 4096:
+        # Bucket the padded EC length (16 buckets per octave, <=6% inert
+        # padding): unrelated datasets of similar size then share one
+        # compiled executable — and, across processes, one persistent-
+        # cache entry — instead of paying a fresh ~100 s XLA compile per
+        # distinct EC count.
+        granule = 1 << (e_pad.bit_length() - 4)
+        e_pad = round_up(round_up(e_pad, granule), SUBLANE * n_shards)
     g_pad = round_up(max(n_groups, 1), LANE)
     return e_pad, g_pad
 
@@ -117,6 +125,15 @@ def pack_problem(
         bound_const=bc,
         mesh=mesh,
     )
+
+
+def auto_chunk(logL) -> int:
+    """Scan-chunk length for the optimizer host loops: 16 for small
+    problems (limits overshoot past convergence), 64 once the matrix is
+    large enough that per-chunk host syncs — and, on the escalation
+    tail, the per-window f64 supervision pass — dominate the cost of a
+    few extra frozen iterations."""
+    return 64 if logL.shape[0] * logL.shape[1] >= (1 << 27) else 16
 
 
 def acc_dtype():

@@ -772,7 +772,7 @@ def fit_rcg(
     max_iters: int = 5000,
     verbose: bool = False,
     counts=None,
-    chunk: int = 16,
+    chunk: int | None = None,
     impl: str | None = None,
     refine: bool = True,
 ):
@@ -786,6 +786,10 @@ def fit_rcg(
     implicit XLA-f64 for double matrices on TPU, explicit XLA elsewhere.
     """
     c = problem.counts if counts is None else counts
+    if chunk is None:
+        from .pack import auto_chunk
+
+        chunk = auto_chunk(problem.logL)
     if impl is None:
         impl = _pick_impl(problem.logL, problem.mesh)
     return _fit_rcg_arrays(
@@ -810,7 +814,7 @@ def fit_rcg_result(
     max_iters: int = 5000,
     verbose: bool = False,
     counts=None,
-    chunk: int = 16,
+    chunk: int | None = None,
     impl: str | None = None,
     refine: bool = True,
 ):
@@ -822,6 +826,10 @@ def fit_rcg_result(
     from .result import FitResult
 
     c = problem.counts if counts is None else counts
+    if chunk is None:
+        from .pack import auto_chunk
+
+        chunk = auto_chunk(problem.logL)
     if impl is None:
         impl = _pick_impl(problem.logL, problem.mesh)
     state, implicit = _run_rcg_arrays(
