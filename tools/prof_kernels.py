@@ -71,10 +71,20 @@ GIB = E * G * 4 / 1e9
 BE = int(os.environ.get("BE", 0)) or rcg_pallas._pick_block_e(E, G)
 
 
+_ROOFLINE_GBPS = 819.0  # v5e HBM; any implied rate above this is invalid
+
+
 def report(name, dt, traffics):
+    gbps = traffics * GIB / dt
+    flag = ""
+    if gbps > _ROOFLINE_GBPS:
+        # same guard bench.py applies to the scored metric: a reading
+        # above the physical roofline is an instrumentation failure
+        # (see the module docstring's trust note), not a result.
+        flag = "  << INVALID: above HBM roofline, instrumentation failure"
     print(
-        f"{name:28s} {dt*1e3:8.3f} ms   {traffics*GIB/dt:6.1f} GB/s   "
-        f"({traffics} traffics, {E*G/dt/1e9:.1f} G cells/s)"
+        f"{name:28s} {dt*1e3:8.3f} ms   {gbps:6.1f} GB/s   "
+        f"({traffics} traffics, {E*G/dt/1e9:.1f} G cells/s){flag}"
     )
 
 
