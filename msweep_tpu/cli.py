@@ -106,6 +106,12 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--write-checkpoint", help="(extension) save the built likelihood problem as a full-precision npz checkpoint.")
     x.add_argument("--read-checkpoint", help="(extension) resume from an npz checkpoint, skipping alignment ingestion and likelihood build.")
     x.add_argument("--trace-dir", help="(extension) write a jax.profiler trace of the estimation to this directory (view with tensorboard/xprof).")
+    x.add_argument(
+        "--no-precision-escalation", action="store_true",
+        help="(extension) stop rcg at the f32 numerical floor instead of "
+        "escalating to float64 past it (faster on ill-conditioned data; "
+        "abundances may differ from the double answer by ~1e-3).",
+    )
     d = p.add_argument_group(
         "Distributed options (extension; multi-host analog of the "
         "reference's MPI build, docs/compilation.md:40-58 — estimation is "
@@ -396,6 +402,7 @@ def _run(args, alignment_paths: list[str], log: Log) -> int:
                 max_iters=args.max_iters,
                 verbose=args.verbose,
                 log=log,
+                refine=not args.no_precision_escalation,
             )
             jax.block_until_ready(res.theta)
         t_fit = _time.time() - t_fit

@@ -64,19 +64,23 @@ def fit(problem, algorithm="rcg", *, tol=1e-6, max_iters=5000, verbose=False, lo
     raise ValueError(f"unknown algorithm {algorithm}")
 
 
-def fit_result(problem, algorithm="rcg", *, tol=1e-6, max_iters=5000, verbose=False, log=None):
+def fit_result(problem, algorithm="rcg", *, tol=1e-6, max_iters=5000, verbose=False,
+               log=None, refine=True):
     """Like `fit` but returns a FitResult: theta/pseudocounts from the
     O(G) optimizer state, gamma materialized only via .gamma().  This is
     the CLI's dispatch — an abundances-only run never builds an (E, G)
     array beyond logL (the reference contract src/mSWEEP.cpp:419-423
-    only consumes theta for `_abundances.txt`)."""
+    only consumes theta for `_abundances.txt`).  `refine` controls rcg
+    precision escalation past the f32 floor (COMPAT.md section 7)."""
     name = {"rcgcpu": "rcg", "rcggpu": "rcg", "emgpu": "em"}.get(algorithm, algorithm)
     if log is not None:
         impl = pick_impl(problem)
         shards = problem.mesh.shape["ec"] if problem.mesh is not None else 1
         log(f"  {name} optimizer: impl={impl} dtype={problem.logL.dtype} ec_shards={shards}")
     if name == "rcg":
-        return fit_rcg_result(problem, tol=tol, max_iters=max_iters, verbose=verbose)
+        return fit_rcg_result(
+            problem, tol=tol, max_iters=max_iters, verbose=verbose, refine=refine
+        )
     if name == "em":
         return fit_em_result(problem, tol=tol, max_iters=max_iters, verbose=verbose)
     raise ValueError(f"unknown algorithm {algorithm}")
