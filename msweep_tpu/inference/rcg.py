@@ -1071,8 +1071,26 @@ def fit_rcg_batch(
         impl = _pick_impl(problem.logL, problem.mesh)
 
     if impl in ("pallas", "pallas_interpret"):
+        from ..ops.rcg_pallas import _bpad
+
         acc = acc_dtype()
         logL = problem.logL
+        # Zero-pad the replicate axis to a multiple of 8: the batched
+        # kernels bind replicate operands as full blocks (real-TPU
+        # Mosaic legality).  Zero-count padded replicates converge on
+        # their first step (delta is exactly 0) and are sliced off the
+        # returned arrays.
+        B_req = counts_batch.shape[0]
+        bp = _bpad(B_req)
+        if bp != B_req:
+            counts_batch = jnp.concatenate(
+                [
+                    jnp.asarray(counts_batch),
+                    jnp.zeros((bp - B_req, counts_batch.shape[1]),
+                              jnp.asarray(counts_batch).dtype),
+                ],
+                axis=0,
+            )
         countsT = jnp.swapaxes(counts_batch, 0, 1).astype(logL.dtype)
         mesh = problem.mesh
         if mesh is not None:
@@ -1097,7 +1115,8 @@ def fit_rcg_batch(
                 break
         csum_b = jnp.sum(countsT.astype(acc), axis=0)
         theta = (state.n_counts - problem.alpha[None, :].astype(acc)) / csum_b[:, None]
-        return theta, state.it, state.bound
+        # Slice off the zero-count padding replicates.
+        return theta[:B_req], state.it[:B_req], state.bound[:B_req]
 
     # XLA fallback: vmapped explicit step (CPU / f64 validation path).
     init = jax.vmap(lambda c: _rcg_init(problem.logL, c, problem.alpha, problem.bound_const))

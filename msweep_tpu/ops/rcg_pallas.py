@@ -256,33 +256,55 @@ def _norm_batch_kernel(c_ref, logL_ref, countsT_ref, psi_ref, v_ref,
                        norm_ref, rowelbo_ref):
     """rcg_norm for replicate b = program_id(1) on E-block program_id(0).
 
-    The replicate axis is the MINOR grid dimension, so the logL block's
-    index map is constant across consecutive b steps and Pallas skips
-    its DMA: one iteration over B replicates still reads the matrix
-    exactly twice (norm + update), not 2B times — the whole point of
-    batching bootstrap replicates into the kernel (the reference reuses
-    one likelihood matrix across its serial refits the same way,
-    src/mSWEEP.cpp:496-518)."""
+    The replicate axis is the MINOR grid dimension, so every input
+    block's index map is constant across consecutive b steps and Pallas
+    skips its DMA: one iteration over B replicates still reads the
+    matrix exactly twice (norm + update), not 2B times — the whole
+    point of batching bootstrap replicates into the kernel (the
+    reference reuses one likelihood matrix across its serial refits the
+    same way, src/mSWEEP.cpp:496-518).
+
+    Mosaic legality (the real-TPU lowering rejects 1-wide lane blocks
+    and 1-row sublane blocks of larger arrays, which interpret mode
+    accepts): ALL replicate-indexed operands are padded to bp rows /
+    lanes and bound as FULL blocks; the active replicate's row/column
+    is selected in-kernel by iota masks (O(bp * G) work — noise next to
+    the (be, G) softmax).  c comes in via SMEM, where dynamic scalar
+    indexing is legal."""
     b = pl.program_id(1)
 
     @pl.when((pl.program_id(0) == 0) & (b == 0))
     def _():
         norm_ref[:, :] = jnp.zeros_like(norm_ref)
 
+    @pl.when(b == 0)
+    def _():
+        rowelbo_ref[:, :] = jnp.zeros_like(rowelbo_ref)
+
     logL = logL_ref[:]
-    t = logL + psi_ref[:]  # (1, G) block of replicate b broadcasts
+    # Row b of the (bp, G) psi/v operands, as (1, G): mask + sum.
+    rows = jax.lax.broadcasted_iota(jnp.int32, psi_ref.shape, 0)
+    psi_b = jnp.sum(jnp.where(rows == b, psi_ref[:], 0.0), axis=0, keepdims=True)
+    v_b = jnp.sum(jnp.where(rows == b, v_ref[:], 0.0), axis=0, keepdims=True)
+    # Column b of the (be, bp) counts block, as (be, 1).
+    lanes = jax.lax.broadcasted_iota(jnp.int32, countsT_ref.shape, 1)
+    counts_b = jnp.sum(
+        jnp.where(lanes == b, countsT_ref[:], 0.0), axis=1, keepdims=True
+    )
+
+    t = logL + psi_b
     m1 = jnp.max(t, axis=1, keepdims=True)
     lse1 = m1 + jnp.log(jnp.sum(jnp.exp(t - m1), axis=1, keepdims=True))
 
-    gamma, num, denom = _masked_softmax(logL, c_ref[0, 0], v_ref[:])
-    w = countsT_ref[:] * (num / denom)  # (be, 1) counts of replicate b
+    gamma, num, denom = _masked_softmax(logL, c_ref[b, 0], v_b)
+    w = counts_b * (num / denom)
     s = (t - lse1) - gamma
 
-    rowelbo_ref[:, :] = jnp.sum(w * (logL - gamma), axis=1, keepdims=True)
-    # Accumulate into row b of the resident (B_pad, 128) accumulator.
-    # Masked add: dynamic-index stores into VMEM are not generally
-    # legal in the Mosaic lowering, and the mask is O(B_pad*128) work
-    # vs the block's O(be*G) softmax — noise.
+    # rowelbo is (be, bp): write column b of the resident block.
+    rowval = jnp.sum(w * (logL - gamma), axis=1, keepdims=True)
+    elanes = jax.lax.broadcasted_iota(jnp.int32, rowelbo_ref.shape, 1)
+    rowelbo_ref[:, :] += jnp.where(elanes == b, rowval, 0.0)
+    # Accumulate into row b of the resident (bp, 128) accumulator.
     mask = jax.lax.broadcasted_iota(jnp.int32, norm_ref.shape, 0) == b
     norm_ref[:, :] += jnp.where(mask, jnp.sum(w * s * s), 0.0)
 
@@ -297,14 +319,25 @@ def _update_batch_kernel(cn_ref, logL_ref, countsT_ref, vn_ref, rowelbo_ref,
         elbo_ref[:, :] = jnp.zeros_like(elbo_ref)
 
     logL = logL_ref[:]
-    g_new, num, denom = _masked_softmax(logL, cn_ref[0, 0], vn_ref[:])
-    w_new = countsT_ref[:] * (num / denom)
+    rows = jax.lax.broadcasted_iota(jnp.int32, vn_ref.shape, 0)
+    vn_b = jnp.sum(jnp.where(rows == b, vn_ref[:], 0.0), axis=0, keepdims=True)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, countsT_ref.shape, 1)
+    counts_b = jnp.sum(
+        jnp.where(lanes == b, countsT_ref[:], 0.0), axis=1, keepdims=True
+    )
+
+    g_new, num, denom = _masked_softmax(logL, cn_ref[b, 0], vn_b)
+    w_new = counts_b * (num / denom)
 
     maskc = jax.lax.broadcasted_iota(jnp.int32, colsum_ref.shape, 0) == b
     colsum_ref[:, :] += jnp.where(maskc, jnp.sum(w_new, axis=0, keepdims=True), 0.0)
     row_new = jnp.sum(w_new * (logL - g_new), axis=1, keepdims=True)
+    elanes = jax.lax.broadcasted_iota(jnp.int32, rowelbo_ref.shape, 1)
+    rowelbo_b = jnp.sum(
+        jnp.where(elanes == b, rowelbo_ref[:], 0.0), axis=1, keepdims=True
+    )
     maske = jax.lax.broadcasted_iota(jnp.int32, elbo_ref.shape, 0) == b
-    elbo_ref[:, :] += jnp.where(maske, jnp.sum(row_new - rowelbo_ref[:]), 0.0)
+    elbo_ref[:, :] += jnp.where(maske, jnp.sum(row_new - rowelbo_b), 0.0)
 
 
 def _bpad(B: int) -> int:
@@ -316,18 +349,21 @@ def _rep_mat_spec(be, G):
     return pl.BlockSpec((be, G), lambda i, b: (i, 0), memory_space=pltpu.VMEM)
 
 
-def _rep_col_spec(be):
-    """(E, B) operand: column b of E-block i."""
-    return pl.BlockSpec((be, 1), lambda i, b: (i, b), memory_space=pltpu.VMEM)
+def _rep_wide_spec(be, bp):
+    """(E, bp) operand: all bp replicate columns of E-block i (constant
+    in b — DMA skipped across the minor axis)."""
+    return pl.BlockSpec((be, bp), lambda i, b: (i, 0), memory_space=pltpu.VMEM)
 
 
-def _rep_row_spec(G):
-    """(B, G) operand: row b, refetched per step (2 KB — pipelined)."""
-    return pl.BlockSpec((1, G), lambda i, b: (b, 0), memory_space=pltpu.VMEM)
+def _rep_full_rows_spec(bp, G):
+    """(bp, G) operand bound whole (tiny; row b selected in-kernel)."""
+    return pl.BlockSpec((bp, G), lambda i, b: (0, 0), memory_space=pltpu.VMEM)
 
 
-def _rep_smem_spec():
-    return pl.BlockSpec((1, 1), lambda i, b: (b, 0), memory_space=pltpu.SMEM)
+def _rep_smem_spec(bp):
+    """(bp, 1) SMEM scalars bound whole; dynamic [b, 0] reads are legal
+    in scalar memory."""
+    return pl.BlockSpec((bp, 1), lambda i, b: (0, 0), memory_space=pltpu.SMEM)
 
 
 def _rep_acc_spec(rows, cols):
@@ -339,32 +375,35 @@ def rcg_norm_batch(logL, countsT, psi_b, c_b, v_b, *, interpret: bool = False):
     """Batched pass 1 over B replicates sharing one logL stream.
 
     logL (E, G); countsT (E, B) per-replicate resampled counts;
-    psi_b (B, G); c_b (B,); v_b (B, G).
+    psi_b (B, G); c_b (B,); v_b (B, G).  B must be a multiple of 8
+    (fit_rcg_batch zero-pads the replicate axis): every replicate-
+    indexed operand is bound as a full block and masked in-kernel,
+    which is what the real-TPU Mosaic lowering requires.
     Returns (norm (B,) f32, rowelbo (E, B) f32)."""
     E, G = logL.shape
     B = countsT.shape[1]
+    assert B % 8 == 0, "replicate axis must be padded to a multiple of 8"
     be = _pick_block_e(E, G)
-    bp = _bpad(B)
     c2d = jnp.asarray(c_b, jnp.float32).reshape(B, 1)
     with jax.enable_x64(False):
         norm, rowelbo = pl.pallas_call(
             _norm_batch_kernel,
             grid=(E // be, B),
             in_specs=[
-                _rep_smem_spec(),
+                _rep_smem_spec(B),
                 _rep_mat_spec(be, G),
-                _rep_col_spec(be),
-                _rep_row_spec(G),
-                _rep_row_spec(G),
+                _rep_wide_spec(be, B),
+                _rep_full_rows_spec(B, G),
+                _rep_full_rows_spec(B, G),
             ],
-            out_specs=[_rep_acc_spec(bp, 128), _rep_col_spec(be)],
+            out_specs=[_rep_acc_spec(B, 128), _rep_wide_spec(be, B)],
             out_shape=[
-                jax.ShapeDtypeStruct((bp, 128), jnp.float32),
+                jax.ShapeDtypeStruct((B, 128), jnp.float32),
                 jax.ShapeDtypeStruct((E, B), jnp.float32),
             ],
             interpret=interpret,
         )(c2d, logL, countsT, psi_b, v_b)
-    return norm[:B, 0], rowelbo
+    return norm[:, 0], rowelbo
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -377,28 +416,28 @@ def rcg_update_batch(logL, countsT, c_new, v_new, rowelbo, *, interpret: bool = 
     materialization."""
     E, G = logL.shape
     B = countsT.shape[1]
+    assert B % 8 == 0, "replicate axis must be padded to a multiple of 8"
     be = _pick_block_e(E, G)
-    bp = _bpad(B)
     cn2d = jnp.asarray(c_new, jnp.float32).reshape(B, 1)
     with jax.enable_x64(False):
         colsum, elbo = pl.pallas_call(
             _update_batch_kernel,
             grid=(E // be, B),
             in_specs=[
-                _rep_smem_spec(),
+                _rep_smem_spec(B),
                 _rep_mat_spec(be, G),
-                _rep_col_spec(be),
-                _rep_row_spec(G),
-                _rep_col_spec(be),
+                _rep_wide_spec(be, B),
+                _rep_full_rows_spec(B, G),
+                _rep_wide_spec(be, B),
             ],
-            out_specs=[_rep_acc_spec(bp, G), _rep_acc_spec(bp, 128)],
+            out_specs=[_rep_acc_spec(B, G), _rep_acc_spec(B, 128)],
             out_shape=[
-                jax.ShapeDtypeStruct((bp, G), jnp.float32),
-                jax.ShapeDtypeStruct((bp, 128), jnp.float32),
+                jax.ShapeDtypeStruct((B, G), jnp.float32),
+                jax.ShapeDtypeStruct((B, 128), jnp.float32),
             ],
             interpret=interpret,
         )(cn2d, logL, countsT, v_new, rowelbo)
-    return colsum[:B, :], elbo[:B, 0]
+    return colsum, elbo[:, 0]
 
 
 @jax.jit
