@@ -107,6 +107,12 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--read-checkpoint", help="(extension) resume from an npz checkpoint, skipping alignment ingestion and likelihood build.")
     x.add_argument("--trace-dir", help="(extension) write a jax.profiler trace of the estimation to this directory (view with tensorboard/xprof).")
     x.add_argument(
+        "--samples-manifest",
+        help="(extension) batch mode: TSV of `output_prefix<TAB>aln1[<TAB>aln2]` "
+        "lines; processes every sample in one invocation, reusing the "
+        "reference, compiled kernels, and compile cache across samples.",
+    )
+    x.add_argument(
         "--no-precision-escalation", action="store_true",
         help="(extension) stop rcg at the f32 numerical floor instead of "
         "escalating to float64 past it (faster on ill-conditioned data; "
@@ -285,274 +291,324 @@ def _run(args, alignment_paths: list[str], log: Log) -> int:
     bootstrap_mode = args.iters > 0
     bin_reads_mode = args.bin_reads
 
-    aln = None
-    resume = bool(args.read_likelihood or args.read_checkpoint)
-    if not resume:
-        log("  reading pseudoalignments")
-        strands = []
-        n_reads = 0
-        if alignment_paths:
-            buffers = [read_input_bytes(p) for p in alignment_paths]
-        else:
-            buffers = [sys.stdin.buffer.read()]
-        for buf in buffers:
-            if looks_packed(buf):
-                r, t, n = parse_packed_pairs(buf, reference.n_refs)
+    def run_one_sample(out, sample_paths):
+        """Per-sample pipeline (alignment -> fit -> outputs), shared by
+        the single-sample path and the --samples-manifest batch mode.
+        In batch mode the compiled executables, the reference/grouping,
+        and the persistent compile cache are reused across samples —
+        the reference re-launches its whole binary per sample."""
+        aln = None
+        resume = bool(args.read_likelihood or args.read_checkpoint)
+        if not resume:
+            log("  reading pseudoalignments")
+            strands = []
+            n_reads = 0
+            if sample_paths:
+                buffers = [read_input_bytes(p) for p in sample_paths]
             else:
-                r, t, n = parse_plaintext_pairs(buf, args.threads)
-            strands.append((r, t))
-            n_reads = n  # overwritten per strand like the reference (quirk 9.4)
-        keys = merge_strands(strands, reference.n_refs, args.themisto_mode)
-        log(f"  read alignments for {n_reads} reads")
-        log("Building equivalence classes")
-        aln = collapse(keys, reference.n_refs, n_reads)
-        log(f"  found {aln.n_ecs} unique alignments")
-    elif n_groupings > 1:
-        raise RuntimeError(
-            "Using more than one grouping with --read-likelihood is not yet implemented."
-        )
+                buffers = [sys.stdin.buffer.read()]
+            for buf in buffers:
+                if looks_packed(buf):
+                    r, t, n = parse_packed_pairs(buf, reference.n_refs)
+                else:
+                    r, t, n = parse_plaintext_pairs(buf, args.threads)
+                strands.append((r, t))
+                n_reads = n  # overwritten per strand like the reference (quirk 9.4)
+            keys = merge_strands(strands, reference.n_refs, args.themisto_mode)
+            log(f"  read alignments for {n_reads} reads")
+            log("Building equivalence classes")
+            aln = collapse(keys, reference.n_refs, n_reads)
+            log(f"  found {aln.n_ecs} unique alignments")
+        elif n_groupings > 1:
+            raise RuntimeError(
+                "Using more than one grouping with --read-likelihood is not yet implemented."
+            )
 
-    if args.read_checkpoint and bin_reads_mode:
-        raise RuntimeError("--read-checkpoint is incompatible with --bin-reads")
+        if args.read_checkpoint and bin_reads_mode:
+            raise RuntimeError("--read-checkpoint is incompatible with --bin-reads")
 
-    mesh = make_ec_mesh(args.shards) if args.shards != 1 else None
+        mesh = make_ec_mesh(args.shards) if args.shards != 1 else None
 
-    for gi in range(n_groupings):
-        grouping = reference.groupings[gi]
+        for gi in range(n_groupings):
+            grouping = reference.groupings[gi]
 
-        if args.read_checkpoint:
-            log("  reading likelihood checkpoint")
-            from .io.checkpoint import load_checkpoint
+            if args.read_checkpoint:
+                log("  reading likelihood checkpoint")
+                from .io.checkpoint import load_checkpoint
 
-            lik, ckpt_names = load_checkpoint(args.read_checkpoint)
-            if lik.n_groups_total != grouping.n_groups:
-                raise RuntimeError(
-                    f"checkpoint has {lik.n_groups_total} groups but the "
-                    f"grouping file has {grouping.n_groups}"
+                lik, ckpt_names = load_checkpoint(args.read_checkpoint)
+                if lik.n_groups_total != grouping.n_groups:
+                    raise RuntimeError(
+                        f"checkpoint has {lik.n_groups_total} groups but the "
+                        f"grouping file has {grouping.n_groups}"
+                    )
+                sample = make_sample(lik.ec_counts, int(lik.ec_counts.sum()))
+            elif args.read_likelihood:
+                log("  reading likelihoods from file")
+                lik = read_likelihood_msweep(
+                    read_input_bytes(args.read_likelihood), grouping.n_groups
                 )
-            sample = make_sample(lik.ec_counts, int(lik.ec_counts.sum()))
-        elif args.read_likelihood:
-            log("  reading likelihoods from file")
-            lik = read_likelihood_msweep(
-                read_input_bytes(args.read_likelihood), grouping.n_groups
-            )
-            sample = make_sample(lik.ec_counts, int(lik.ec_counts.sum()))
-        else:
-            log("Computing the likelihood matrix")
-            lik = build_likelihood(
-                aln,
-                grouping.indicators,
-                grouping.sizes,
-                q=args.q,
-                e=args.e,
-                min_hits=args.min_hits,
-                zero_inflation=args.zero_inflation,
-            )
-            sample = make_sample(aln.ec_counts, aln.n_reads)
-
-        if args.write_checkpoint:
-            log("  writing likelihood checkpoint")
-            from .io.checkpoint import save_checkpoint
-
-            path = args.write_checkpoint
-            if n_groupings > 1:
-                path = f"{path}.{gi}" if gi else path
-            save_checkpoint(path, lik, grouping.names)
-
-        if args.write_likelihood or args.write_likelihood_bitseq:
-            fmt_name = "bitseq" if args.write_likelihood_bitseq else "mSWEEP"
-            stream = out.likelihoods(fmt_name)
-            if fmt_name == "bitseq":
-                write_likelihood_bitseq(lik, stream)
+                sample = make_sample(lik.ec_counts, int(lik.ec_counts.sum()))
             else:
-                write_likelihood_msweep(lik, stream)
+                log("Computing the likelihood matrix")
+                lik = build_likelihood(
+                    aln,
+                    grouping.indicators,
+                    grouping.sizes,
+                    q=args.q,
+                    e=args.e,
+                    min_hits=args.min_hits,
+                    zero_inflation=args.zero_inflation,
+                )
+                sample = make_sample(aln.ec_counts, aln.n_reads)
+
+            if args.write_checkpoint:
+                log("  writing likelihood checkpoint")
+                from .io.checkpoint import save_checkpoint
+
+                path = args.write_checkpoint
+                if n_groupings > 1:
+                    path = f"{path}.{gi}" if gi else path
+                save_checkpoint(path, lik, grouping.names)
+
+            if args.write_likelihood or args.write_likelihood_bitseq:
+                fmt_name = "bitseq" if args.write_likelihood_bitseq else "mSWEEP"
+                stream = out.likelihoods(fmt_name)
+                if fmt_name == "bitseq":
+                    write_likelihood_bitseq(lik, stream)
+                else:
+                    write_likelihood_msweep(lik, stream)
+                if stream is not sys.stdout:
+                    stream.close()
+
+            mask = lik.groups_mask
+            estimated_names = [n for n, m in zip(grouping.names, mask) if m]
+            zero_names = [n for n, m in zip(grouping.names, mask) if not m] if args.min_hits > 0 else []
+
+            if args.no_fit_model:
+                log("Skipping relative abundance estimation (--no-fit-model toggled)")
+                if gi < n_groupings - 1:
+                    out.next_grouping()
+                continue
+
+            log("Estimating relative abundances")
+            alpha = None
+            if args.alphas:
+                alpha = np.array([float(v) for v in args.alphas.split(",")], dtype=np.float64)
+
+            problem = pack_problem(lik, alpha=alpha, dtype=dtype, mesh=mesh)
+            import contextlib
+            import time as _time
+
+            trace_ctx = (
+                jax.profiler.trace(args.trace_dir)
+                if args.trace_dir
+                else contextlib.nullcontext()
+            )
+            t_fit = _time.time()
+            with trace_ctx:
+                res = fit_result(
+                    problem,
+                    args.algorithm,
+                    tol=args.tol,
+                    max_iters=args.max_iters,
+                    verbose=args.verbose,
+                    log=log,
+                    refine=not args.no_precision_escalation,
+                )
+                jax.block_until_ready(res.theta)
+            t_fit = _time.time() - t_fit
+            n_iters = res.n_iters
+            n_it = max(int(n_iters), 1)
+            log(
+                f"  optimizer finished after {int(n_iters)} iterations "
+                f"({t_fit:.2f}s, {n_it / t_fit:.2f} it/s)"
+            )
+            if args.trace_dir:
+                log(f"  wrote profiler trace to {args.trace_dir}")
+
+            if args.run_rate:
+                print(
+                    "WARNING: --run-rate is an experimental option that has not been "
+                    "thoroughly tested and is subject to change.\n",
+                    file=sys.stderr,
+                )
+                # O(G): pseudo-counts a = N - alpha fall out of the optimizer
+                # state; no gamma matrix is needed (src/Sample.cpp:99-131
+                # rebuilds `a` from the probs matrix instead).
+                log_klds = dirichlet_kld_from_pseudocounts(res.pseudocounts)
+                sample.log_klds = to_host(log_klds)[: problem.n_groups]
+                rates = rates_from_log_kld(log_klds, problem.group_mask())
+                sample.rates = to_host(rates)[: problem.n_groups]
+
+            if args.min_hits > 0:
+                print(
+                    "WARNING: --min-hits > 0 is an experimental option that has not been "
+                    "thoroughly tested and is subject to change.\n",
+                    file=sys.stderr,
+                )
+
+            theta = to_host(res.theta)[: problem.n_groups]
+            sample.abundances = theta
+            # The (E, G) probability matrix is materialized ONLY when an
+            # output actually consumes it (probs files / binning) — a plain
+            # abundance run stays O(G) beyond logL itself, unlike the
+            # reference which always holds the full matrix
+            # (src/mSWEEP.cpp:402-423).
+            gamma_host = None
+            if args.print_probs or args.write_probs or bin_reads_mode:
+                gamma_host = to_host(res.gamma())[: problem.n_ecs, : problem.n_groups]
+                sample.gamma = gamma_host
+
+            # Binning (before bootstrap, like src/mSWEEP.cpp:437-469).
+            if bin_reads_mode:
+                if args.read_likelihood:
+                    raise RuntimeError("--bin-reads can't be used with --read-likelihood")
+                if args.target_groups:
+                    target_names = args.target_groups.split(",")
+                else:
+                    target_names = list(estimated_names)
+                if args.min_abundance is not None:
+                    target_names = binning_mod.filter_target_groups(
+                        estimated_names, theta, args.min_abundance, target_names
+                    )
+                bins = binning_mod.bin_reads(aln, gamma_host, theta, estimated_names, target_names)
+                for name in target_names:
+                    stream = out.bin(name)
+                    write_bin(stream, bins[name])
+                    stream.close()
+
+            if args.print_probs and out.root:
+                write_probs(sys.stdout, estimated_names, gamma_host, zero_names)
+            if args.write_probs:
+                stream = out.probs()
+                write_probs(stream, estimated_names, gamma_host, zero_names)
+                stream.close()
+
+            # Bootstrap replicates: vmapped batch over resampled count vectors
+            # sharing one likelihood matrix (replaces the reference's serial
+            # refit loop at src/mSWEEP.cpp:496-518).
+            if bootstrap_mode:
+                log(f"Running estimation with {args.iters} bootstrap iterations")
+                seed = args.seed
+                if jax.process_count() > 1:
+                    # Every process must draw the SAME replicate batch (the
+                    # reference's MPI-era design ran all estimation modes
+                    # through the one rank-sharded path with root-only I/O,
+                    # docs/compilation.md:40-58).  The sentinel seed means
+                    # "random": root draws it and broadcasts.
+                    from .core.sample import SEED_SENTINEL
+
+                    if seed == SEED_SENTINEL:
+                        from jax.experimental import multihost_utils
+
+                        local = np.asarray(
+                            [np.random.default_rng().integers(0, 2**31 - 1)], np.int64
+                        )
+                        seed = int(multihost_utils.broadcast_one_to_all(local)[0])
+                resampler = BootstrapResampler(
+                    lik.ec_counts, bootstrap_count=args.bootstrap_count, seed=seed
+                )
+                batch = resampler.resample_batch(args.iters)
+                e_pad = problem.counts.shape[0]
+                batch_padded = np.zeros((args.iters, e_pad))
+                batch_padded[:, : lik.n_ecs] = batch
+                import jax.numpy as jnp
+
+                batch_dev = jnp.asarray(batch_padded, dtype=problem.counts.dtype)
+                alg = {"rcgcpu": "rcg", "rcggpu": "rcg", "emgpu": "em"}.get(
+                    args.algorithm, args.algorithm
+                )
+                batch_fit = fit_rcg_batch if alg == "rcg" else fit_em_batch
+                # Batch fits return abundances directly ((B, G_pad) theta):
+                # no (B, E, G) gamma batch is ever materialized.
+                tb, ib, _ = batch_fit(problem, batch_dev, tol=args.tol, max_iters=args.max_iters)
+                tb_host = np.asarray(tb)[:, : problem.n_groups]
+                sample.bootstrap_results = [theta] + [tb_host[k] for k in range(args.iters)]
+
+            # Write relative abundances.
+            stream = out.abundances()
+            if sample.rate_run:
+                write_abundances_rate(
+                    stream,
+                    estimated_names,
+                    theta,
+                    sample.rates,
+                    sample.log_klds,
+                    sample.n_reads,
+                    sample.counts_total,
+                    zero_names,
+                )
+            elif bootstrap_mode:
+                write_abundances_bootstrap(
+                    stream,
+                    estimated_names,
+                    sample.bootstrap_results,
+                    sample.n_reads,
+                    sample.counts_total,
+                    zero_names,
+                )
+            else:
+                write_abundances(
+                    stream,
+                    estimated_names,
+                    theta,
+                    sample.n_reads,
+                    sample.counts_total,
+                    zero_names,
+                )
             if stream is not sys.stdout:
                 stream.close()
 
-        mask = lik.groups_mask
-        estimated_names = [n for n, m in zip(grouping.names, mask) if m]
-        zero_names = [n for n, m in zip(grouping.names, mask) if not m] if args.min_hits > 0 else []
-
-        if args.no_fit_model:
-            log("Skipping relative abundance estimation (--no-fit-model toggled)")
             if gi < n_groupings - 1:
                 out.next_grouping()
-            continue
 
-        log("Estimating relative abundances")
-        alpha = None
-        if args.alphas:
-            alpha = np.array([float(v) for v in args.alphas.split(",")], dtype=np.float64)
-
-        problem = pack_problem(lik, alpha=alpha, dtype=dtype, mesh=mesh)
-        import contextlib
-        import time as _time
-
-        trace_ctx = (
-            jax.profiler.trace(args.trace_dir)
-            if args.trace_dir
-            else contextlib.nullcontext()
-        )
-        t_fit = _time.time()
-        with trace_ctx:
-            res = fit_result(
-                problem,
-                args.algorithm,
-                tol=args.tol,
-                max_iters=args.max_iters,
-                verbose=args.verbose,
-                log=log,
-                refine=not args.no_precision_escalation,
+    if args.samples_manifest:
+        if sum(1 for p in (args.themisto, args.themisto_1, args.read_likelihood,
+                           args.read_checkpoint) if p):
+            raise RuntimeError(
+                "--samples-manifest is incompatible with --themisto*, "
+                "--read-likelihood and --read-checkpoint"
             )
-            jax.block_until_ready(res.theta)
-        t_fit = _time.time() - t_fit
-        n_iters = res.n_iters
-        n_it = max(int(n_iters), 1)
-        log(
-            f"  optimizer finished after {int(n_iters)} iterations "
-            f"({t_fit:.2f}s, {n_it / t_fit:.2f} it/s)"
-        )
-        if args.trace_dir:
-            log(f"  wrote profiler trace to {args.trace_dir}")
-
-        if args.run_rate:
-            print(
-                "WARNING: --run-rate is an experimental option that has not been "
-                "thoroughly tested and is subject to change.\n",
-                file=sys.stderr,
-            )
-            # O(G): pseudo-counts a = N - alpha fall out of the optimizer
-            # state; no gamma matrix is needed (src/Sample.cpp:99-131
-            # rebuilds `a` from the probs matrix instead).
-            log_klds = dirichlet_kld_from_pseudocounts(res.pseudocounts)
-            sample.log_klds = to_host(log_klds)[: problem.n_groups]
-            rates = rates_from_log_kld(log_klds, problem.group_mask())
-            sample.rates = to_host(rates)[: problem.n_groups]
-
-        if args.min_hits > 0:
-            print(
-                "WARNING: --min-hits > 0 is an experimental option that has not been "
-                "thoroughly tested and is subject to change.\n",
-                file=sys.stderr,
-            )
-
-        theta = to_host(res.theta)[: problem.n_groups]
-        sample.abundances = theta
-        # The (E, G) probability matrix is materialized ONLY when an
-        # output actually consumes it (probs files / binning) — a plain
-        # abundance run stays O(G) beyond logL itself, unlike the
-        # reference which always holds the full matrix
-        # (src/mSWEEP.cpp:402-423).
-        gamma_host = None
-        if args.print_probs or args.write_probs or bin_reads_mode:
-            gamma_host = to_host(res.gamma())[: problem.n_ecs, : problem.n_groups]
-            sample.gamma = gamma_host
-
-        # Binning (before bootstrap, like src/mSWEEP.cpp:437-469).
-        if bin_reads_mode:
-            if args.read_likelihood:
-                raise RuntimeError("--bin-reads can't be used with --read-likelihood")
-            if args.target_groups:
-                target_names = args.target_groups.split(",")
-            else:
-                target_names = list(estimated_names)
-            if args.min_abundance is not None:
-                target_names = binning_mod.filter_target_groups(
-                    estimated_names, theta, args.min_abundance, target_names
+        samples = _manifest_samples(args.samples_manifest)
+        log(f"Batch mode: {len(samples)} samples from {args.samples_manifest}")
+        for si, (prefix, paths) in enumerate(samples):
+            log(f"Sample {si + 1}/{len(samples)}: {prefix}")
+            if "/" in prefix and not os.path.isdir(prefix[: prefix.rfind("/")]):
+                raise RuntimeError(
+                    f"directory {prefix[: prefix.rfind('/')]} does not exist"
                 )
-            bins = binning_mod.bin_reads(aln, gamma_host, theta, estimated_names, target_names)
-            for name in target_names:
-                stream = out.bin(name)
-                write_bin(stream, bins[name])
-                stream.close()
-
-        if args.print_probs and out.root:
-            write_probs(sys.stdout, estimated_names, gamma_host, zero_names)
-        if args.write_probs:
-            stream = out.probs()
-            write_probs(stream, estimated_names, gamma_host, zero_names)
-            stream.close()
-
-        # Bootstrap replicates: vmapped batch over resampled count vectors
-        # sharing one likelihood matrix (replaces the reference's serial
-        # refit loop at src/mSWEEP.cpp:496-518).
-        if bootstrap_mode:
-            log(f"Running estimation with {args.iters} bootstrap iterations")
-            seed = args.seed
-            if jax.process_count() > 1:
-                # Every process must draw the SAME replicate batch (the
-                # reference's MPI-era design ran all estimation modes
-                # through the one rank-sharded path with root-only I/O,
-                # docs/compilation.md:40-58).  The sentinel seed means
-                # "random": root draws it and broadcasts.
-                from .core.sample import SEED_SENTINEL
-
-                if seed == SEED_SENTINEL:
-                    from jax.experimental import multihost_utils
-
-                    local = np.asarray(
-                        [np.random.default_rng().integers(0, 2**31 - 1)], np.int64
-                    )
-                    seed = int(multihost_utils.broadcast_one_to_all(local)[0])
-            resampler = BootstrapResampler(
-                lik.ec_counts, bootstrap_count=args.bootstrap_count, seed=seed
+            out_s = OutfileDesignator(
+                prefix, n_groupings, args.compress, args.compression_level,
+                root=is_root,
             )
-            batch = resampler.resample_batch(args.iters)
-            e_pad = problem.counts.shape[0]
-            batch_padded = np.zeros((args.iters, e_pad))
-            batch_padded[:, : lik.n_ecs] = batch
-            import jax.numpy as jnp
-
-            batch_dev = jnp.asarray(batch_padded, dtype=problem.counts.dtype)
-            alg = {"rcgcpu": "rcg", "rcggpu": "rcg", "emgpu": "em"}.get(
-                args.algorithm, args.algorithm
-            )
-            batch_fit = fit_rcg_batch if alg == "rcg" else fit_em_batch
-            # Batch fits return abundances directly ((B, G_pad) theta):
-            # no (B, E, G) gamma batch is ever materialized.
-            tb, ib, _ = batch_fit(problem, batch_dev, tol=args.tol, max_iters=args.max_iters)
-            tb_host = np.asarray(tb)[:, : problem.n_groups]
-            sample.bootstrap_results = [theta] + [tb_host[k] for k in range(args.iters)]
-
-        # Write relative abundances.
-        stream = out.abundances()
-        if sample.rate_run:
-            write_abundances_rate(
-                stream,
-                estimated_names,
-                theta,
-                sample.rates,
-                sample.log_klds,
-                sample.n_reads,
-                sample.counts_total,
-                zero_names,
-            )
-        elif bootstrap_mode:
-            write_abundances_bootstrap(
-                stream,
-                estimated_names,
-                sample.bootstrap_results,
-                sample.n_reads,
-                sample.counts_total,
-                zero_names,
-            )
-        else:
-            write_abundances(
-                stream,
-                estimated_names,
-                theta,
-                sample.n_reads,
-                sample.counts_total,
-                zero_names,
-            )
-        if stream is not sys.stdout:
-            stream.close()
-
-        if gi < n_groupings - 1:
-            out.next_grouping()
+            run_one_sample(out_s, paths)
+    else:
+        run_one_sample(out, alignment_paths)
 
     log.flush()
     return 0
+
+
+def _manifest_samples(path: str) -> list[tuple[str, list[str]]]:
+    """Parse a --samples-manifest TSV: `output_prefix<TAB>aln1[<TAB>aln2]`
+    per line (blank lines and #-comments skipped)."""
+    rows: list[tuple[str, list[str]]] = []
+    with open(path) as f:
+        for ln_no, ln in enumerate(f, 1):
+            ln = ln.strip()
+            if not ln or ln.startswith("#"):
+                continue
+            parts = ln.split("\t")
+            if len(parts) not in (2, 3):
+                raise ValueError(
+                    f"samples manifest line {ln_no}: expected "
+                    f"prefix<TAB>aln1[<TAB>aln2], got {len(parts)} fields"
+                )
+            rows.append((parts[0], parts[1:]))
+    if not rows:
+        raise ValueError("samples manifest contains no samples")
+    return rows
 
 
 if __name__ == "__main__":

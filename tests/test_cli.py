@@ -334,3 +334,60 @@ def test_dtype_and_impl_selection(monkeypatch):
     # f64 on TPU uses the implicit XLA-f64 step (O(G) state, no Mosaic
     # f64) since round 5; CPU keeps the explicit reference path.
     assert _pick_impl(f64) == "xla64"
+
+
+def test_samples_manifest_batch(dataset, tmp_path):
+    """--samples-manifest processes several samples in one invocation,
+    each matching its individually-run output byte-for-byte."""
+    manifest = tmp_path / "manifest.tsv"
+    manifest.write_text(
+        f"{tmp_path}/batchA\t{dataset}/s1.txt\t{dataset}/s2.txt\n"
+        "# a comment line\n"
+        f"{tmp_path}/batchB\t{dataset}/s1.txt\n"
+    )
+    assert main([
+        "--samples-manifest", str(manifest),
+        "-i", str(dataset / "clustering.txt"),
+    ]) == 0
+    # individual runs for comparison
+    assert main([
+        "--themisto-1", str(dataset / "s1.txt"),
+        "--themisto-2", str(dataset / "s2.txt"),
+        "-i", str(dataset / "clustering.txt"),
+        "-o", str(tmp_path / "soloA"),
+    ]) == 0
+    assert main([
+        "--themisto", str(dataset / "s1.txt"),
+        "-i", str(dataset / "clustering.txt"),
+        "-o", str(tmp_path / "soloB"),
+    ]) == 0
+    a_batch = (tmp_path / "batchA_abundances.txt").read_text()
+    a_solo = (tmp_path / "soloA_abundances.txt").read_text()
+    assert a_batch == a_solo
+    b_batch = (tmp_path / "batchB_abundances.txt").read_text()
+    b_solo = (tmp_path / "soloB_abundances.txt").read_text()
+    assert b_batch == b_solo
+    assert a_batch != b_batch  # strand intersection really differed
+
+
+def test_samples_manifest_incompatible_flags(dataset, tmp_path, capsys):
+    manifest = tmp_path / "m.tsv"
+    manifest.write_text(f"{tmp_path}/x\t{dataset}/s1.txt\n")
+    rc = main([
+        "--samples-manifest", str(manifest),
+        "--themisto", str(dataset / "s1.txt"),
+        "-i", str(dataset / "clustering.txt"),
+    ])
+    assert rc == 1
+    assert "incompatible" in capsys.readouterr().err
+
+
+def test_samples_manifest_bad_line_fails(dataset, tmp_path, capsys):
+    manifest = tmp_path / "m.tsv"
+    manifest.write_text("onlyprefix\n")
+    rc = main([
+        "--samples-manifest", str(manifest),
+        "-i", str(dataset / "clustering.txt"),
+    ])
+    assert rc == 1
+    assert "manifest" in capsys.readouterr().err
