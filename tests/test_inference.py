@@ -229,3 +229,41 @@ def test_bound_const_value():
     assert bound_const(np.array([1, 2]), np.array([1.0, 1.0])) == pytest.approx(
         -np.log(24.0)
     )
+
+
+class TestPacking:
+    def test_pad_dims_small_exact(self):
+        from msweep_tpu.inference.pack import pad_dims
+
+        # below the bucketing threshold: minimal sublane/lane padding only
+        assert pad_dims(100, 5) == (104, 128)
+        assert pad_dims(4096, 512) == (4096, 512)
+
+    def test_pad_dims_buckets_large(self):
+        from msweep_tpu.inference.pack import pad_dims
+
+        # large E buckets at 16 steps per octave so similar-size datasets
+        # share compiled executables; power-of-two sizes are unchanged
+        e, g = pad_dims(1 << 17, 512)
+        assert (e, g) == (1 << 17, 512)
+        e199k, _ = pad_dims(199494, 512)
+        assert e199k % (1 << 14) == 0 and 199494 <= e199k <= 199494 * 1.07
+        # two nearby sizes land in the same bucket
+        assert pad_dims(199494, 512) == pad_dims(200001, 512)
+
+    def test_pad_dims_respects_shards(self):
+        from msweep_tpu.inference.pack import pad_dims
+
+        for n in (123, 5000, 199494):
+            e, _ = pad_dims(n, 64, n_shards=8)
+            assert e % (8 * 8) == 0 and e >= n
+
+    def test_auto_chunk(self):
+        import numpy as np
+
+        from msweep_tpu.inference.pack import auto_chunk
+
+        small = np.zeros((1 << 10, 128), np.float32)
+        big = np.zeros((1 << 19, 512), np.float32)
+        assert auto_chunk(small) == 16
+        assert auto_chunk(big) == 64
