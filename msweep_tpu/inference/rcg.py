@@ -225,7 +225,14 @@ def _make_step(tol: float):
     return step
 
 
-def _make_kernels(mesh, interpret, xla64: bool = False):
+# Above this many EC rows the (E, 1) rowelbo thread buffer (which tiles
+# to 128x its logical bytes on TPU) starts to threaten HBM capacity, so
+# the fused dual-softmax kernels take over (4 exp sweeps, no per-row
+# state, ~25% slower — the kernels are VPU-exp-bound).
+_FUSED_UPDATE_ROWS = 3_000_000
+
+
+def _make_kernels(mesh, interpret, xla64: bool = False, fused: bool = False):
     """The fused pair of passes for one implicit iteration.
 
     `xla64` selects the jnp twins (ops/rcg_xla.py) that run the same
@@ -235,38 +242,63 @@ def _make_kernels(mesh, interpret, xla64: bool = False):
     axis: each device runs the fused kernels on its EC shard and the
     G-sized sufficient statistics (newnorm, colsum, ELBO delta) merge
     with psum over ICI — the TPU-native form of the reference's
-    MPI-allreduce design (docs/compilation.md:40-58).  rowelbo (the
-    per-row old data term threaded from pass 1 to pass 2) stays
-    shard-local.
+    MPI-allreduce design (docs/compilation.md:40-58).  No per-row state
+    crosses passes: the update pass recomputes the old data term
+    in-stream (dual softmax), so everything merged is O(G).
     """
     if xla64:
-        from ..ops import rcg_xla as kernel_mod
+        from ..ops import rcg_xla as M
 
-        kern_norm = kernel_mod.rcg_norm
-        kern_update = kernel_mod.rcg_update
+        if fused:
+            kern_norm, kern_update = M.rcg_norm, M.rcg_update
+        else:
+            kern_norm, kern_update = M.rcg_norm_rowelbo, M.rcg_update_rowelbo
     else:
-        from ..ops import rcg_pallas
+        from ..ops import rcg_pallas as M
 
-        kern_norm = partial(rcg_pallas.rcg_norm, interpret=interpret)
-        kern_update = partial(rcg_pallas.rcg_update, interpret=interpret)
+        if fused:
+            kern_norm = partial(M.rcg_norm, interpret=interpret)
+            kern_update = partial(M.rcg_update, interpret=interpret)
+        else:
+            kern_norm = partial(M.rcg_norm_rowelbo, interpret=interpret)
+            kern_update = partial(M.rcg_update_rowelbo, interpret=interpret)
 
     acc = acc_dtype()
 
-    def norm_pass(logL, counts2d, psi, c, v):
-        newnorm_raw, rowelbo = kern_norm(logL, counts2d, psi, c, v)
-        newnorm = newnorm_raw.astype(acc)
-        if mesh is not None:
-            newnorm = jax.lax.psum(newnorm, "ec")
-        return newnorm, rowelbo
+    if fused:
+        def norm_pass(logL, counts2d, psi, c, v):
+            newnorm = kern_norm(logL, counts2d, psi, c, v).astype(acc)
+            if mesh is not None:
+                newnorm = jax.lax.psum(newnorm, "ec")
+            return newnorm
 
-    def update_pass(logL, counts2d, c_new, v_new, rowelbo):
-        colsum, elbo_raw = kern_update(logL, counts2d, c_new, v_new, rowelbo)
-        colsum = colsum.astype(acc)
-        elbo_delta = elbo_raw.astype(acc)
-        if mesh is not None:
-            colsum = jax.lax.psum(colsum, "ec")
-            elbo_delta = jax.lax.psum(elbo_delta, "ec")
-        return colsum, elbo_delta
+        def update_pass(logL, counts2d, c_old, v_old, c_new, v_new):
+            colsum, elbo_raw = kern_update(
+                logL, counts2d, c_old, v_old, c_new, v_new
+            )
+            colsum = colsum.astype(acc)
+            elbo_delta = elbo_raw.astype(acc)
+            if mesh is not None:
+                colsum = jax.lax.psum(colsum, "ec")
+                elbo_delta = jax.lax.psum(elbo_delta, "ec")
+            return colsum, elbo_delta
+
+    else:
+        def norm_pass(logL, counts2d, psi, c, v):
+            newnorm_raw, rowelbo = kern_norm(logL, counts2d, psi, c, v)
+            newnorm = newnorm_raw.astype(acc)
+            if mesh is not None:
+                newnorm = jax.lax.psum(newnorm, "ec")
+            return newnorm, rowelbo
+
+        def update_pass(logL, counts2d, c_new, v_new, rowelbo):
+            colsum, elbo_raw = kern_update(logL, counts2d, c_new, v_new, rowelbo)
+            colsum = colsum.astype(acc)
+            elbo_delta = elbo_raw.astype(acc)
+            if mesh is not None:
+                colsum = jax.lax.psum(colsum, "ec")
+                elbo_delta = jax.lax.psum(elbo_delta, "ec")
+            return colsum, elbo_delta
 
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
@@ -275,18 +307,32 @@ def _make_kernels(mesh, interpret, xla64: bool = False):
         ec = P("ec", None)
         ecv = P("ec", None)
         rep = P()
-        norm_pass = shard_map(
-            norm_pass, mesh=mesh,
-            in_specs=(ec, ecv, rep, rep, rep),
-            out_specs=(rep, ecv),
-            check_vma=False,
-        )
-        update_pass = shard_map(
-            update_pass, mesh=mesh,
-            in_specs=(ec, ecv, rep, rep, ecv),
-            out_specs=(rep, rep),
-            check_vma=False,
-        )
+        if fused:
+            norm_pass = shard_map(
+                norm_pass, mesh=mesh,
+                in_specs=(ec, ecv, rep, rep, rep),
+                out_specs=rep,
+                check_vma=False,
+            )
+            update_pass = shard_map(
+                update_pass, mesh=mesh,
+                in_specs=(ec, ecv, rep, rep, rep, rep),
+                out_specs=(rep, rep),
+                check_vma=False,
+            )
+        else:
+            norm_pass = shard_map(
+                norm_pass, mesh=mesh,
+                in_specs=(ec, ecv, rep, rep, rep),
+                out_specs=(rep, ecv),
+                check_vma=False,
+            )
+            update_pass = shard_map(
+                update_pass, mesh=mesh,
+                in_specs=(ec, ecv, rep, rep, ecv),
+                out_specs=(rep, rep),
+                check_vma=False,
+            )
     return norm_pass, update_pass
 
 
@@ -317,7 +363,7 @@ def _make_bound_eval(mesh):
 
 
 def _make_step_implicit(tol: float, interpret: bool, mesh=None, xla64: bool = False,
-                        blind_tau=None):
+                        blind_tau=None, fused: bool = False):
     """One implicit iteration: two streaming passes + O(G) coefficient
     recursion (see ops/rcg_pallas.py for the derivation).  With `xla64`
     the passes run in f64 (precision-escalation tail) while logL stays
@@ -331,7 +377,7 @@ def _make_step_implicit(tol: float, interpret: bool, mesh=None, xla64: bool = Fa
     jitter no longer stalls the iterate the way the strict
     revert-on-any-decrease rule does at the floor."""
     acc = acc_dtype()
-    norm_pass, update_pass = _make_kernels(mesh, interpret, xla64)
+    norm_pass, update_pass = _make_kernels(mesh, interpret, xla64, fused)
 
     def step(st: RCGImplicitState, logL, counts2d, alpha):
         dtype = acc if xla64 else logL.dtype
@@ -340,7 +386,10 @@ def _make_step_implicit(tol: float, interpret: bool, mesh=None, xla64: bool = Fa
         c32 = st.c.astype(dtype)
         v32 = st.v.astype(dtype)[None, :]
 
-        newnorm, rowelbo = norm_pass(logL, counts2d, psi32, c32, v32)
+        if fused:
+            newnorm = norm_pass(logL, counts2d, psi32, c32, v32)
+        else:
+            newnorm, rowelbo = norm_pass(logL, counts2d, psi32, c32, v32)
         beta = jnp.where(
             st.just_reset | (st.it == 0) | (st.oldnorm <= 0),
             jnp.zeros((), acc),
@@ -354,10 +403,16 @@ def _make_step_implicit(tol: float, interpret: bool, mesh=None, xla64: bool = Fa
         c_new = st.c + e_new
         v_new = st.v + f_new
 
-        colsum, elbo_delta = update_pass(
-            logL, counts2d, c_new.astype(dtype), v_new.astype(dtype)[None, :],
-            rowelbo,
-        )
+        if fused:
+            colsum, elbo_delta = update_pass(
+                logL, counts2d, c32, v32,
+                c_new.astype(dtype), v_new.astype(dtype)[None, :],
+            )
+        else:
+            colsum, elbo_delta = update_pass(
+                logL, counts2d,
+                c_new.astype(dtype), v_new.astype(dtype)[None, :], rowelbo,
+            )
         n_new = alpha.astype(acc) + colsum
         dirichlet_delta = jnp.sum(gammaln(n_new) - gammaln(st.n_counts))
         delta = elbo_delta + dirichlet_delta
@@ -425,20 +480,65 @@ def _rcg_init(logL, counts, alpha, bc):
 @jax.jit
 def _rcg_init_implicit(logL, counts, alpha, bc):
     """Implicit init: no (E, G) state.  N_0 and the exact initial bound
-    are computed with ONE streaming XLA pass (gamma_0 is uniform over
-    real groups, masked on padded ones — the same values the kernels
-    reconstruct from (c, v) = (0, 0))."""
+    are computed with ONE row-blocked streaming pass (gamma_0 is
+    uniform over real groups, masked on padded ones — the same values
+    the kernels reconstruct from (c, v) = (0, 0)).
+
+    The blocking matters for capacity: delegating to the explicit
+    _rcg_init let XLA materialize ~2 extra (E, G) init temporaries,
+    capping single-chip problems at ~2.5M ECs; streaming the init
+    raises the ceiling to wherever logL itself fits (~7M ECs x 512 on
+    a 16 GB v5e)."""
     acc = acc_dtype()
-    st0 = _rcg_init(logL, counts, alpha, bc)  # XLA fuses; gamma0 not kept
-    G = logL.shape[1]
+    E, G = logL.shape
+    if E * G < (1 << 27):
+        # Small problems (and every sharded test mesh) keep the fused
+        # whole-matrix init: the reshaped scan below can fight GSPMD
+        # sharding propagation, and the temporaries are tiny here.
+        st0 = _rcg_init(logL, counts, alpha, bc)
+        return RCGImplicitState(
+            c=jnp.zeros((), acc),
+            v=jnp.zeros((G,), acc),
+            e=jnp.zeros((), acc),
+            f=jnp.zeros((G,), acc),
+            n_counts=st0.n_counts,
+            oldnorm=jnp.ones((), acc),
+            bound=st0.bound,
+            delta=jnp.asarray(jnp.inf, acc),
+            it=jnp.zeros((), jnp.int32),
+            done=jnp.zeros((), bool),
+            just_reset=jnp.zeros((), bool),
+        )
+    from ..ops.rcg_xla import _pick_block
+
+    b = _pick_block(E)
+    Lb = logL.reshape(E // b, b, G)
+    cb = counts.reshape(E // b, b)
+    pad = jnp.asarray(PAD_THRESHOLD, logL.dtype)
+
+    def body(carry, xs):
+        colsum, data = carry
+        Lblk, cblk = xs
+        init_logits = jnp.where(Lblk > pad, 0.0, Lblk)
+        g0 = _rownorm(init_logits)
+        w0 = cblk[:, None] * jnp.exp(g0)
+        colsum = colsum + jnp.sum(w0, axis=0).astype(acc)
+        data = data + jnp.sum(jnp.sum(w0 * (Lblk - g0), axis=1).astype(acc))
+        return (colsum, data), None
+
+    (colsum, data), _ = jax.lax.scan(
+        body, (jnp.zeros((G,), acc), jnp.zeros((), acc)), (Lb, cb)
+    )
+    n0 = alpha.astype(acc) + colsum
+    bound0 = jnp.asarray(bc, acc) + jnp.sum(gammaln(n0)) + data
     return RCGImplicitState(
         c=jnp.zeros((), acc),
         v=jnp.zeros((G,), acc),
         e=jnp.zeros((), acc),
         f=jnp.zeros((G,), acc),
-        n_counts=st0.n_counts,
+        n_counts=n0,
         oldnorm=jnp.ones((), acc),
-        bound=st0.bound,
+        bound=bound0,
         delta=jnp.asarray(jnp.inf, acc),
         it=jnp.zeros((), jnp.int32),
         done=jnp.zeros((), bool),
@@ -489,7 +589,8 @@ def _rcg_chunk(
     if impl in ("pallas", "pallas_interpret", "xla64"):
         step = _make_step_implicit(tol, interpret=(impl == "pallas_interpret"),
                                    mesh=mesh, xla64=(impl == "xla64"),
-                                   blind_tau=blind_tau)
+                                   blind_tau=blind_tau,
+                                   fused=logL.shape[0] > _FUSED_UPDATE_ROWS)
         args = (logL, counts[:, None].astype(logL.dtype), alpha)
     else:
         step = _make_step(tol)
@@ -863,32 +964,52 @@ def fit_rcg_result(
 # ---------------------------------------------------------------------------
 
 
-def _make_kernels_batch(mesh, interpret):
+def _make_kernels_batch(mesh, interpret, fused: bool = False):
     """Batched twin of _make_kernels: per-shard batched kernel calls with
     psum-merged (B,)/(B, G) sufficient statistics over the "ec" axis."""
     from ..ops import rcg_pallas
 
     acc = acc_dtype()
 
-    def norm_pass(logL, countsT, psi_b, c_b, v_b):
-        norm_f32, rowelbo = rcg_pallas.rcg_norm_batch(
-            logL, countsT, psi_b, c_b, v_b, interpret=interpret
-        )
-        newnorm = norm_f32.astype(acc)
-        if mesh is not None:
-            newnorm = jax.lax.psum(newnorm, "ec")
-        return newnorm, rowelbo
+    if fused:
+        def norm_pass(logL, countsT, psi_b, c_b, v_b):
+            newnorm = rcg_pallas.rcg_norm_batch(
+                logL, countsT, psi_b, c_b, v_b, interpret=interpret
+            ).astype(acc)
+            if mesh is not None:
+                newnorm = jax.lax.psum(newnorm, "ec")
+            return newnorm
 
-    def update_pass(logL, countsT, c_new, v_new, rowelbo):
-        colsum, elbo_f32 = rcg_pallas.rcg_update_batch(
-            logL, countsT, c_new, v_new, rowelbo, interpret=interpret
-        )
-        colsum = colsum.astype(acc)
-        elbo_delta = elbo_f32.astype(acc)
-        if mesh is not None:
-            colsum = jax.lax.psum(colsum, "ec")
-            elbo_delta = jax.lax.psum(elbo_delta, "ec")
-        return colsum, elbo_delta
+        def update_pass(logL, countsT, c_old, v_old, c_new, v_new):
+            colsum, elbo_f32 = rcg_pallas.rcg_update_batch(
+                logL, countsT, c_old, v_old, c_new, v_new, interpret=interpret
+            )
+            colsum = colsum.astype(acc)
+            elbo_delta = elbo_f32.astype(acc)
+            if mesh is not None:
+                colsum = jax.lax.psum(colsum, "ec")
+                elbo_delta = jax.lax.psum(elbo_delta, "ec")
+            return colsum, elbo_delta
+    else:
+        def norm_pass(logL, countsT, psi_b, c_b, v_b):
+            norm_f32, rowelbo = rcg_pallas.rcg_norm_batch_rowelbo(
+                logL, countsT, psi_b, c_b, v_b, interpret=interpret
+            )
+            newnorm = norm_f32.astype(acc)
+            if mesh is not None:
+                newnorm = jax.lax.psum(newnorm, "ec")
+            return newnorm, rowelbo
+
+        def update_pass(logL, countsT, c_new, v_new, rowelbo):
+            colsum, elbo_f32 = rcg_pallas.rcg_update_batch_rowelbo(
+                logL, countsT, c_new, v_new, rowelbo, interpret=interpret
+            )
+            colsum = colsum.astype(acc)
+            elbo_delta = elbo_f32.astype(acc)
+            if mesh is not None:
+                colsum = jax.lax.psum(colsum, "ec")
+                elbo_delta = jax.lax.psum(elbo_delta, "ec")
+            return colsum, elbo_delta
 
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
@@ -896,36 +1017,57 @@ def _make_kernels_batch(mesh, interpret):
 
         ec = P("ec", None)
         rep = P()
-        norm_pass = shard_map(
-            norm_pass, mesh=mesh,
-            in_specs=(ec, ec, rep, rep, rep),
-            out_specs=(rep, ec),
-            check_vma=False,
-        )
-        update_pass = shard_map(
-            update_pass, mesh=mesh,
-            in_specs=(ec, ec, rep, rep, ec),
-            out_specs=(rep, rep),
-            check_vma=False,
-        )
+        if fused:
+            norm_pass = shard_map(
+                norm_pass, mesh=mesh,
+                in_specs=(ec, ec, rep, rep, rep),
+                out_specs=rep,
+                check_vma=False,
+            )
+            update_pass = shard_map(
+                update_pass, mesh=mesh,
+                in_specs=(ec, ec, rep, rep, rep, rep),
+                out_specs=(rep, rep),
+                check_vma=False,
+            )
+        else:
+            norm_pass = shard_map(
+                norm_pass, mesh=mesh,
+                in_specs=(ec, ec, rep, rep, rep),
+                out_specs=(rep, ec),
+                check_vma=False,
+            )
+            update_pass = shard_map(
+                update_pass, mesh=mesh,
+                in_specs=(ec, ec, rep, rep, ec),
+                out_specs=(rep, rep),
+                check_vma=False,
+            )
     return norm_pass, update_pass
 
 
-def _make_step_implicit_batch(tol: float, interpret: bool, mesh=None):
+def _make_step_implicit_batch(tol: float, interpret: bool, mesh=None,
+                              fused: bool = False):
     """Batched implicit iteration: all state fields carry a leading (B,)
     replicate axis; accept/revert is per-replicate jnp.where (the revert
     is no longer rare across a whole batch, and the state is O(B*G))."""
     acc = acc_dtype()
-    norm_pass, update_pass = _make_kernels_batch(mesh, interpret)
+    norm_pass, update_pass = _make_kernels_batch(mesh, interpret, fused)
 
     def step(st: RCGImplicitState, logL, countsT, alpha):
         dtype = logL.dtype
         psi = digamma(st.n_counts)  # (B, G)
 
-        newnorm, rowelbo = norm_pass(
-            logL, countsT, psi.astype(dtype),
-            st.c.astype(dtype), st.v.astype(dtype),
-        )
+        if fused:
+            newnorm = norm_pass(
+                logL, countsT, psi.astype(dtype),
+                st.c.astype(dtype), st.v.astype(dtype),
+            )
+        else:
+            newnorm, rowelbo = norm_pass(
+                logL, countsT, psi.astype(dtype),
+                st.c.astype(dtype), st.v.astype(dtype),
+            )
         beta = jnp.where(
             st.just_reset | (st.it == 0) | (st.oldnorm <= 0),
             jnp.zeros_like(newnorm),
@@ -937,9 +1079,15 @@ def _make_step_implicit_batch(tol: float, interpret: bool, mesh=None):
         c_new = st.c + e_new
         v_new = st.v + f_new
 
-        colsum, elbo_delta = update_pass(
-            logL, countsT, c_new.astype(dtype), v_new.astype(dtype), rowelbo
-        )
+        if fused:
+            colsum, elbo_delta = update_pass(
+                logL, countsT, st.c.astype(dtype), st.v.astype(dtype),
+                c_new.astype(dtype), v_new.astype(dtype),
+            )
+        else:
+            colsum, elbo_delta = update_pass(
+                logL, countsT, c_new.astype(dtype), v_new.astype(dtype), rowelbo
+            )
         n_new = alpha[None, :].astype(acc) + colsum
         dirichlet_delta = jnp.sum(gammaln(n_new) - gammaln(st.n_counts), axis=1)
         delta = elbo_delta + dirichlet_delta
@@ -1021,7 +1169,9 @@ def _rcg_chunk_batch(
     that converged freeze (per-replicate where, not cond — done is a
     (B,) vector).  `max_it` as in _rcg_chunk (single compile for all
     chunks)."""
-    step = _make_step_implicit_batch(tol, interpret, mesh)
+    step = _make_step_implicit_batch(
+        tol, interpret, mesh, fused=logL.shape[0] > _FUSED_UPDATE_ROWS
+    )
 
     def body(st, _):
         new = step(st, logL, countsT, alpha)

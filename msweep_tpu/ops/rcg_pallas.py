@@ -119,8 +119,7 @@ def _masked_softmax(logL, chat, vhat):
     return gamma, num, denom
 
 
-def _norm_kernel(c_ref, logL_ref, counts_ref, psi_ref, v_ref,
-                 norm_ref, rowelbo_ref):
+def _norm_kernel(c_ref, logL_ref, counts_ref, psi_ref, v_ref, norm_ref):
     @pl.when(pl.program_id(0) == 0)
     def _():
         norm_ref[:, :] = jnp.zeros_like(norm_ref)
@@ -134,24 +133,41 @@ def _norm_kernel(c_ref, logL_ref, counts_ref, psi_ref, v_ref,
     w = counts_ref[:] * (num / denom)  # == counts * exp(gamma)
     s = (t - lse1) - gamma  # natural-gradient direction (exact row consts)
 
-    rowelbo_ref[:, :] = jnp.sum(w * (logL - gamma), axis=1, keepdims=True)
     _acc_add(norm_ref, jnp.sum(w * s * s))
 
 
-def _update_kernel(cn_ref, logL_ref, counts_ref, vn_ref, rowelbo_ref,
+def _update_kernel(co_ref, cn_ref, logL_ref, counts_ref, vo_ref, vn_ref,
                    colsum_ref, elbo_ref):
+    """Dual-softmax update pass: evaluates BOTH the old gamma (c_old,
+    v_old) and the stepped gamma' (c_new, v_new) in one stream and
+    differences the ELBO data term per row IN-KERNEL.
+
+    This replaced the (E, 1) rowelbo buffer threaded from pass 1: on
+    TPU an (E, 1) f32 array tiles to (8, 128), i.e. 128x its logical
+    bytes — ~3 GB of dead weight and per-iteration HBM traffic at
+    5.7M ECs, which capped single-chip capacity.  The old row term is
+    recomputed through the same _masked_softmax with the same (c, v)
+    as the previous iteration's new term, so the near-cancelling
+    per-row differencing stays bit-identical — at the cost of a 4th
+    exp sweep per iteration (measured cheaper than the padded (E, 1)
+    write+read it replaces)."""
     @pl.when(pl.program_id(0) == 0)
     def _():
         colsum_ref[:, :] = jnp.zeros_like(colsum_ref)
         elbo_ref[:, :] = jnp.zeros_like(elbo_ref)
 
     logL = logL_ref[:]
-    g_new, num, denom = _masked_softmax(logL, cn_ref[0, 0], vn_ref[:])  # exp 3
-    w_new = counts_ref[:] * (num / denom)
+    counts = counts_ref[:]
+    g_old, num_o, den_o = _masked_softmax(logL, co_ref[0, 0], vo_ref[:])  # exp 3
+    w_old = counts * (num_o / den_o)
+    row_old = jnp.sum(w_old * (logL - g_old), axis=1, keepdims=True)
+
+    g_new, num, denom = _masked_softmax(logL, cn_ref[0, 0], vn_ref[:])  # exp 4
+    w_new = counts * (num / denom)
 
     _acc_add(colsum_ref, jnp.sum(w_new, axis=0, keepdims=True))
     row_new = jnp.sum(w_new * (logL - g_new), axis=1, keepdims=True)
-    _acc_add(elbo_ref, jnp.sum(row_new - rowelbo_ref[:]))
+    _acc_add(elbo_ref, jnp.sum(row_new - row_old))
 
 
 def supports(logL) -> bool:
@@ -189,8 +205,303 @@ def _acc_spec(rows, cols):
 def rcg_norm(logL, counts2d, psi, c, v, *, interpret: bool = False):
     """Pass 1: metric norm of the natural gradient at gamma = (c, v).
 
+    Returns the newnorm scalar (f32)."""
+    E, G = logL.shape
+    be = _pick_block_e(E, G)
+    c2d = jnp.asarray(c, jnp.float32).reshape(1, 1)
+    # x64 mode turns index-map literals into i64 scalars, which the
+    # Mosaic lowering cannot legalize; kernels are pure f32/i32.
+    with jax.enable_x64(False):
+        norm = pl.pallas_call(
+            _norm_kernel,
+            grid=(E // be,),
+            in_specs=[
+                _smem_spec(),
+                _mat_spec(be, G),
+                _vec_spec(be),
+                _row_spec(G),
+                _row_spec(G),
+            ],
+            out_specs=_acc_spec(8, 128),
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            interpret=interpret,
+        )(c2d, logL, counts2d, psi, v)
+    return norm[0, 0]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def rcg_update(logL, counts2d, c_old, v_old, c_new, v_new, *,
+               interpret: bool = False):
+    """Pass 2: sufficient statistics of the stepped gamma' = (c_new,
+    v_new), plus the ELBO data-term change vs gamma = (c_old, v_old).
+
+    Returns (colsum (G,) f32, elbo_delta scalar f32) where colsum =
+    sum_e counts_e exp(gamma'_e) (the N update / final abundances).
+    Neither gamma is ever written — the caller carries only the O(G)
+    coefficients (see _update_kernel for the dual-softmax design)."""
+    E, G = logL.shape
+    be = _pick_block_e(E, G)
+    co2d = jnp.asarray(c_old, jnp.float32).reshape(1, 1)
+    cn2d = jnp.asarray(c_new, jnp.float32).reshape(1, 1)
+    with jax.enable_x64(False):
+        colsum, elbo = pl.pallas_call(
+            _update_kernel,
+            grid=(E // be,),
+            in_specs=[
+                _smem_spec(),
+                _smem_spec(),
+                _mat_spec(be, G),
+                _vec_spec(be),
+                _row_spec(G),
+                _row_spec(G),
+            ],
+            out_specs=[_acc_spec(8, G), _acc_spec(8, 128)],
+            out_shape=[
+                jax.ShapeDtypeStruct((8, G), jnp.float32),
+                jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            ],
+            interpret=interpret,
+        )(co2d, cn2d, logL, counts2d, v_old, v_new)
+    return colsum[0, :], elbo[0, 0]
+
+
+def _norm_batch_kernel(c_ref, logL_ref, countsT_ref, psi_ref, v_ref,
+                       norm_ref):
+    """rcg_norm for replicate b = program_id(1) on E-block program_id(0).
+
+    The replicate axis is the MINOR grid dimension, so every input
+    block's index map is constant across consecutive b steps and Pallas
+    skips its DMA: one iteration over B replicates still reads the
+    matrix exactly twice (norm + update), not 2B times — the whole
+    point of batching bootstrap replicates into the kernel (the
+    reference reuses one likelihood matrix across its serial refits the
+    same way, src/mSWEEP.cpp:496-518).
+
+    Mosaic legality (the real-TPU lowering rejects 1-wide lane blocks
+    and 1-row sublane blocks of larger arrays, which interpret mode
+    accepts): ALL replicate-indexed operands are padded to bp rows /
+    lanes and bound as FULL blocks; the active replicate's row/column
+    is selected in-kernel by iota masks (O(bp * G) work — noise next to
+    the (be, G) softmax).  c comes in via SMEM, where dynamic scalar
+    indexing is legal.  Returns the (bp,) norms only — the old row
+    term is recomputed by the dual-softmax update pass."""
+    b = pl.program_id(1)
+
+    @pl.when((pl.program_id(0) == 0) & (b == 0))
+    def _():
+        norm_ref[:, :] = jnp.zeros_like(norm_ref)
+
+    logL = logL_ref[:]
+    # Row b of the (bp, G) psi/v operands, as (1, G): mask + sum.
+    rows = jax.lax.broadcasted_iota(jnp.int32, psi_ref.shape, 0)
+    psi_b = jnp.sum(jnp.where(rows == b, psi_ref[:], 0.0), axis=0, keepdims=True)
+    v_b = jnp.sum(jnp.where(rows == b, v_ref[:], 0.0), axis=0, keepdims=True)
+    # Column b of the (be, bp) counts block, as (be, 1).
+    lanes = jax.lax.broadcasted_iota(jnp.int32, countsT_ref.shape, 1)
+    counts_b = jnp.sum(
+        jnp.where(lanes == b, countsT_ref[:], 0.0), axis=1, keepdims=True
+    )
+
+    t = logL + psi_b
+    m1 = jnp.max(t, axis=1, keepdims=True)
+    lse1 = m1 + jnp.log(jnp.sum(jnp.exp(t - m1), axis=1, keepdims=True))
+
+    gamma, num, denom = _masked_softmax(logL, c_ref[b, 0], v_b)
+    w = counts_b * (num / denom)
+    s = (t - lse1) - gamma
+
+    # Accumulate into row b of the resident (bp, 128) accumulator.
+    mask = jax.lax.broadcasted_iota(jnp.int32, norm_ref.shape, 0) == b
+    norm_ref[:, :] += jnp.where(mask, jnp.sum(w * s * s), 0.0)
+
+
+def _update_batch_kernel(co_ref, cn_ref, logL_ref, countsT_ref, vo_ref, vn_ref,
+                         colsum_ref, elbo_ref):
+    """Batched dual-softmax update (see _update_kernel): the old row
+    term is recomputed in-stream, so no (E, bp) rowelbo buffer exists."""
+    b = pl.program_id(1)
+
+    @pl.when((pl.program_id(0) == 0) & (b == 0))
+    def _():
+        colsum_ref[:, :] = jnp.zeros_like(colsum_ref)
+        elbo_ref[:, :] = jnp.zeros_like(elbo_ref)
+
+    logL = logL_ref[:]
+    rows = jax.lax.broadcasted_iota(jnp.int32, vn_ref.shape, 0)
+    vo_b = jnp.sum(jnp.where(rows == b, vo_ref[:], 0.0), axis=0, keepdims=True)
+    vn_b = jnp.sum(jnp.where(rows == b, vn_ref[:], 0.0), axis=0, keepdims=True)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, countsT_ref.shape, 1)
+    counts_b = jnp.sum(
+        jnp.where(lanes == b, countsT_ref[:], 0.0), axis=1, keepdims=True
+    )
+
+    g_old, num_o, den_o = _masked_softmax(logL, co_ref[b, 0], vo_b)
+    w_old = counts_b * (num_o / den_o)
+    row_old = jnp.sum(w_old * (logL - g_old), axis=1, keepdims=True)
+
+    g_new, num, denom = _masked_softmax(logL, cn_ref[b, 0], vn_b)
+    w_new = counts_b * (num / denom)
+
+    maskc = jax.lax.broadcasted_iota(jnp.int32, colsum_ref.shape, 0) == b
+    colsum_ref[:, :] += jnp.where(maskc, jnp.sum(w_new, axis=0, keepdims=True), 0.0)
+    row_new = jnp.sum(w_new * (logL - g_new), axis=1, keepdims=True)
+    maske = jax.lax.broadcasted_iota(jnp.int32, elbo_ref.shape, 0) == b
+    elbo_ref[:, :] += jnp.where(maske, jnp.sum(row_new - row_old), 0.0)
+
+
+def _bpad(B: int) -> int:
+    return max(8, -(-B // 8) * 8)
+
+
+def _rep_mat_spec(be, G):
+    """logL under a (E//be, B) grid: block constant in b (DMA skipped)."""
+    return pl.BlockSpec((be, G), lambda i, b: (i, 0), memory_space=pltpu.VMEM)
+
+
+def _rep_wide_spec(be, bp):
+    """(E, bp) operand: all bp replicate columns of E-block i (constant
+    in b — DMA skipped across the minor axis)."""
+    return pl.BlockSpec((be, bp), lambda i, b: (i, 0), memory_space=pltpu.VMEM)
+
+
+def _rep_full_rows_spec(bp, G):
+    """(bp, G) operand bound whole (tiny; row b selected in-kernel)."""
+    return pl.BlockSpec((bp, G), lambda i, b: (0, 0), memory_space=pltpu.VMEM)
+
+
+def _rep_smem_spec(bp):
+    """(bp, 1) SMEM scalars bound whole; dynamic [b, 0] reads are legal
+    in scalar memory."""
+    return pl.BlockSpec((bp, 1), lambda i, b: (0, 0), memory_space=pltpu.SMEM)
+
+
+def _rep_acc_spec(rows, cols):
+    return pl.BlockSpec((rows, cols), lambda i, b: (0, 0), memory_space=pltpu.VMEM)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def rcg_norm_batch(logL, countsT, psi_b, c_b, v_b, *, interpret: bool = False):
+    """Batched pass 1 over B replicates sharing one logL stream.
+
+    logL (E, G); countsT (E, B) per-replicate resampled counts;
+    psi_b (B, G); c_b (B,); v_b (B, G).  B must be a multiple of 8
+    (fit_rcg_batch zero-pads the replicate axis): every replicate-
+    indexed operand is bound as a full block and masked in-kernel,
+    which is what the real-TPU Mosaic lowering requires.
+    Returns norm (B,) f32."""
+    E, G = logL.shape
+    B = countsT.shape[1]
+    assert B % 8 == 0, "replicate axis must be padded to a multiple of 8"
+    be = _pick_block_e(E, G)
+    c2d = jnp.asarray(c_b, jnp.float32).reshape(B, 1)
+    with jax.enable_x64(False):
+        norm = pl.pallas_call(
+            _norm_batch_kernel,
+            grid=(E // be, B),
+            in_specs=[
+                _rep_smem_spec(B),
+                _rep_mat_spec(be, G),
+                _rep_wide_spec(be, B),
+                _rep_full_rows_spec(B, G),
+                _rep_full_rows_spec(B, G),
+            ],
+            out_specs=_rep_acc_spec(B, 128),
+            out_shape=jax.ShapeDtypeStruct((B, 128), jnp.float32),
+            interpret=interpret,
+        )(c2d, logL, countsT, psi_b, v_b)
+    return norm[:, 0]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def rcg_update_batch(logL, countsT, c_old, v_old, c_new, v_new, *,
+                     interpret: bool = False):
+    """Batched pass 2.  Returns (colsum (B, G) f32, elbo_delta (B,) f32).
+
+    colsum[b] = sum_e countsT[e, b] * exp(gamma'_b[e]) — the N update,
+    and (minus alpha) the unnormalized abundances, so bootstrap theta
+    comes straight from the optimizer state with no gamma
+    materialization."""
+    E, G = logL.shape
+    B = countsT.shape[1]
+    assert B % 8 == 0, "replicate axis must be padded to a multiple of 8"
+    be = _pick_block_e(E, G)
+    co2d = jnp.asarray(c_old, jnp.float32).reshape(B, 1)
+    cn2d = jnp.asarray(c_new, jnp.float32).reshape(B, 1)
+    with jax.enable_x64(False):
+        colsum, elbo = pl.pallas_call(
+            _update_batch_kernel,
+            grid=(E // be, B),
+            in_specs=[
+                _rep_smem_spec(B),
+                _rep_smem_spec(B),
+                _rep_mat_spec(be, G),
+                _rep_wide_spec(be, B),
+                _rep_full_rows_spec(B, G),
+                _rep_full_rows_spec(B, G),
+            ],
+            out_specs=[_rep_acc_spec(B, G), _rep_acc_spec(B, 128)],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, G), jnp.float32),
+                jax.ShapeDtypeStruct((B, 128), jnp.float32),
+            ],
+            interpret=interpret,
+        )(co2d, cn2d, logL, countsT, v_old, v_new)
+    return colsum, elbo[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# 3-exp-sweep variants with a threaded rowelbo buffer (the FAST pair).
+#
+# The per-row old ELBO data term is computed once in pass 1 and threaded
+# to pass 2 through an (E, 1) buffer.  On TPU that buffer tiles to
+# (8, 128) — 128x its logical bytes — which is irrelevant below a few
+# million ECs but caps single-chip capacity at scale, where the fused
+# dual-softmax kernels above (4 exp sweeps, no (E, 1) state) take over.
+# The kernels are VPU-exp-bound, so the 3-sweep pair is ~25% faster and
+# remains the default (inference/rcg.py picks by row count).
+# ---------------------------------------------------------------------------
+
+def _norm_kernel_rowelbo(c_ref, logL_ref, counts_ref, psi_ref, v_ref,
+                 norm_ref, rowelbo_ref):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        norm_ref[:, :] = jnp.zeros_like(norm_ref)
+
+    logL = logL_ref[:]
+    t = logL + psi_ref[:]
+    m1 = jnp.max(t, axis=1, keepdims=True)
+    lse1 = m1 + jnp.log(jnp.sum(jnp.exp(t - m1), axis=1, keepdims=True))  # exp 1
+
+    gamma, num, denom = _masked_softmax(logL, c_ref[0, 0], v_ref[:])  # exp 2
+    w = counts_ref[:] * (num / denom)  # == counts * exp(gamma)
+    s = (t - lse1) - gamma  # natural-gradient direction (exact row consts)
+
+    rowelbo_ref[:, :] = jnp.sum(w * (logL - gamma), axis=1, keepdims=True)
+    _acc_add(norm_ref, jnp.sum(w * s * s))
+
+
+def _update_kernel_rowelbo(cn_ref, logL_ref, counts_ref, vn_ref, rowelbo_ref,
+                   colsum_ref, elbo_ref):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        colsum_ref[:, :] = jnp.zeros_like(colsum_ref)
+        elbo_ref[:, :] = jnp.zeros_like(elbo_ref)
+
+    logL = logL_ref[:]
+    g_new, num, denom = _masked_softmax(logL, cn_ref[0, 0], vn_ref[:])  # exp 3
+    w_new = counts_ref[:] * (num / denom)
+
+    _acc_add(colsum_ref, jnp.sum(w_new, axis=0, keepdims=True))
+    row_new = jnp.sum(w_new * (logL - g_new), axis=1, keepdims=True)
+    _acc_add(elbo_ref, jnp.sum(row_new - rowelbo_ref[:]))
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def rcg_norm_rowelbo(logL, counts2d, psi, c, v, *, interpret: bool = False):
+    """Pass 1: metric norm of the natural gradient at gamma = (c, v).
+
     Returns (newnorm scalar f32, rowelbo_old (E,1) f32).  rowelbo_old is
-    the per-row OLD ELBO data term, consumed by rcg_update's differencing.
+    the per-row OLD ELBO data term, consumed by rcg_update_rowelbo's differencing.
     """
     E, G = logL.shape
     be = _pick_block_e(E, G)
@@ -199,7 +510,7 @@ def rcg_norm(logL, counts2d, psi, c, v, *, interpret: bool = False):
     # Mosaic lowering cannot legalize; kernels are pure f32/i32.
     with jax.enable_x64(False):
         norm, rowelbo = pl.pallas_call(
-            _norm_kernel,
+            _norm_kernel_rowelbo,
             grid=(E // be,),
             in_specs=[
                 _smem_spec(),
@@ -219,7 +530,7 @@ def rcg_norm(logL, counts2d, psi, c, v, *, interpret: bool = False):
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def rcg_update(logL, counts2d, c_new, v_new, rowelbo, *, interpret: bool = False):
+def rcg_update_rowelbo(logL, counts2d, c_new, v_new, rowelbo, *, interpret: bool = False):
     """Pass 2: sufficient statistics of the stepped gamma' = (c_new, v_new).
 
     Returns (colsum (G,) f32, elbo_delta scalar f32) where colsum =
@@ -233,7 +544,7 @@ def rcg_update(logL, counts2d, c_new, v_new, rowelbo, *, interpret: bool = False
     cn2d = jnp.asarray(c_new, jnp.float32).reshape(1, 1)
     with jax.enable_x64(False):
         colsum, elbo = pl.pallas_call(
-            _update_kernel,
+            _update_kernel_rowelbo,
             grid=(E // be,),
             in_specs=[
                 _smem_spec(),
@@ -252,9 +563,9 @@ def rcg_update(logL, counts2d, c_new, v_new, rowelbo, *, interpret: bool = False
     return colsum[0, :], elbo[0, 0]
 
 
-def _norm_batch_kernel(c_ref, logL_ref, countsT_ref, psi_ref, v_ref,
+def _norm_batch_kernel_rowelbo(c_ref, logL_ref, countsT_ref, psi_ref, v_ref,
                        norm_ref, rowelbo_ref):
-    """rcg_norm for replicate b = program_id(1) on E-block program_id(0).
+    """rcg_norm_rowelbo for replicate b = program_id(1) on E-block program_id(0).
 
     The replicate axis is the MINOR grid dimension, so every input
     block's index map is constant across consecutive b steps and Pallas
@@ -309,7 +620,7 @@ def _norm_batch_kernel(c_ref, logL_ref, countsT_ref, psi_ref, v_ref,
     norm_ref[:, :] += jnp.where(mask, jnp.sum(w * s * s), 0.0)
 
 
-def _update_batch_kernel(cn_ref, logL_ref, countsT_ref, vn_ref, rowelbo_ref,
+def _update_batch_kernel_rowelbo(cn_ref, logL_ref, countsT_ref, vn_ref, rowelbo_ref,
                          colsum_ref, elbo_ref):
     b = pl.program_id(1)
 
@@ -340,38 +651,8 @@ def _update_batch_kernel(cn_ref, logL_ref, countsT_ref, vn_ref, rowelbo_ref,
     elbo_ref[:, :] += jnp.where(maske, jnp.sum(row_new - rowelbo_b), 0.0)
 
 
-def _bpad(B: int) -> int:
-    return max(8, -(-B // 8) * 8)
-
-
-def _rep_mat_spec(be, G):
-    """logL under a (E//be, B) grid: block constant in b (DMA skipped)."""
-    return pl.BlockSpec((be, G), lambda i, b: (i, 0), memory_space=pltpu.VMEM)
-
-
-def _rep_wide_spec(be, bp):
-    """(E, bp) operand: all bp replicate columns of E-block i (constant
-    in b — DMA skipped across the minor axis)."""
-    return pl.BlockSpec((be, bp), lambda i, b: (i, 0), memory_space=pltpu.VMEM)
-
-
-def _rep_full_rows_spec(bp, G):
-    """(bp, G) operand bound whole (tiny; row b selected in-kernel)."""
-    return pl.BlockSpec((bp, G), lambda i, b: (0, 0), memory_space=pltpu.VMEM)
-
-
-def _rep_smem_spec(bp):
-    """(bp, 1) SMEM scalars bound whole; dynamic [b, 0] reads are legal
-    in scalar memory."""
-    return pl.BlockSpec((bp, 1), lambda i, b: (0, 0), memory_space=pltpu.SMEM)
-
-
-def _rep_acc_spec(rows, cols):
-    return pl.BlockSpec((rows, cols), lambda i, b: (0, 0), memory_space=pltpu.VMEM)
-
-
 @partial(jax.jit, static_argnames=("interpret",))
-def rcg_norm_batch(logL, countsT, psi_b, c_b, v_b, *, interpret: bool = False):
+def rcg_norm_batch_rowelbo(logL, countsT, psi_b, c_b, v_b, *, interpret: bool = False):
     """Batched pass 1 over B replicates sharing one logL stream.
 
     logL (E, G); countsT (E, B) per-replicate resampled counts;
@@ -387,7 +668,7 @@ def rcg_norm_batch(logL, countsT, psi_b, c_b, v_b, *, interpret: bool = False):
     c2d = jnp.asarray(c_b, jnp.float32).reshape(B, 1)
     with jax.enable_x64(False):
         norm, rowelbo = pl.pallas_call(
-            _norm_batch_kernel,
+            _norm_batch_kernel_rowelbo,
             grid=(E // be, B),
             in_specs=[
                 _rep_smem_spec(B),
@@ -407,7 +688,7 @@ def rcg_norm_batch(logL, countsT, psi_b, c_b, v_b, *, interpret: bool = False):
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def rcg_update_batch(logL, countsT, c_new, v_new, rowelbo, *, interpret: bool = False):
+def rcg_update_batch_rowelbo(logL, countsT, c_new, v_new, rowelbo, *, interpret: bool = False):
     """Batched pass 2.  Returns (colsum (B, G) f32, elbo_delta (B,) f32).
 
     colsum[b] = sum_e countsT[e, b] * exp(gamma'_b[e]) — the N update,
@@ -421,7 +702,7 @@ def rcg_update_batch(logL, countsT, c_new, v_new, rowelbo, *, interpret: bool = 
     cn2d = jnp.asarray(c_new, jnp.float32).reshape(B, 1)
     with jax.enable_x64(False):
         colsum, elbo = pl.pallas_call(
-            _update_batch_kernel,
+            _update_batch_kernel_rowelbo,
             grid=(E // be, B),
             in_specs=[
                 _rep_smem_spec(B),
@@ -438,6 +719,9 @@ def rcg_update_batch(logL, countsT, c_new, v_new, rowelbo, *, interpret: bool = 
             interpret=interpret,
         )(cn2d, logL, countsT, v_new, rowelbo)
     return colsum, elbo[:, 0]
+
+
+@jax.jit
 
 
 @jax.jit

@@ -216,7 +216,7 @@ def bench_norm():
     Chained on the returned scalar so reps cannot overlap."""
 
     def run(L, c):
-        nn, rowelbo = rcg_pallas.rcg_norm(
+        nn = rcg_pallas.rcg_norm(
             L, counts2d, psi, c[0, 0], jnp.zeros((1, G), jnp.float32)
         )
         # chain: next rep's c genuinely depends on nn (a `* 0` fold here
@@ -224,18 +224,16 @@ def bench_norm():
         return nn * 1e-30 + 1.0
 
     report("rcg_norm (pass 1)", _scan_time(run), 1)
-    _, rowelbo = rcg_pallas.rcg_norm(
-        logL, counts2d, psi, jnp.float32(1.0), jnp.zeros((1, G), jnp.float32)
-    )
-    return rowelbo
 
 
-def bench_update(rowelbo):
-    """Pass 2: rcg_update(logL, counts2d, c_new, v_new, rowelbo)."""
+def bench_update():
+    """Pass 2 (dual softmax): rcg_update(logL, counts2d, c_old, v_old,
+    c_new, v_new)."""
+    zv = jnp.zeros((1, G), jnp.float32)
 
     def run(L, c):
         colsum, elbo = rcg_pallas.rcg_update(
-            L, counts2d, c[0, 0], jnp.zeros((1, G), jnp.float32), rowelbo
+            L, counts2d, c[0, 0] * 0.5, zv, c[0, 0], zv
         )
         return elbo * 1e-30 + 1.0  # genuine data dependence (see bench_norm)
 
@@ -276,9 +274,9 @@ if "exp" in WHICH:
     _bench_exp(_exp_kernel, "exp1+lse", BE)
 if "exp2" in WHICH:
     _bench_exp(_exp2_kernel, "exp2+2lse", BE)
-if "norm" in WHICH or "update" in WHICH:
-    rowelbo = bench_norm()
-    if "update" in WHICH:
-        bench_update(rowelbo)
+if "norm" in WHICH:
+    bench_norm()
+if "update" in WHICH:
+    bench_update()
 if "full" in WHICH:
     bench_full()
