@@ -225,14 +225,7 @@ def _make_step(tol: float):
     return step
 
 
-# Above this many EC rows the (E, 1) rowelbo thread buffer (which tiles
-# to 128x its logical bytes on TPU) starts to threaten HBM capacity, so
-# the fused dual-softmax kernels take over (4 exp sweeps, no per-row
-# state, ~25% slower — the kernels are VPU-exp-bound).
-_FUSED_UPDATE_ROWS = 3_000_000
-
-
-def _make_kernels(mesh, interpret, xla64: bool = False, fused: bool = False):
+def _make_kernels(mesh, interpret, xla64: bool = False):
     """The fused pair of passes for one implicit iteration.
 
     `xla64` selects the jnp twins (ops/rcg_xla.py) that run the same
@@ -249,56 +242,31 @@ def _make_kernels(mesh, interpret, xla64: bool = False, fused: bool = False):
     if xla64:
         from ..ops import rcg_xla as M
 
-        if fused:
-            kern_norm, kern_update = M.rcg_norm, M.rcg_update
-        else:
-            kern_norm, kern_update = M.rcg_norm_rowelbo, M.rcg_update_rowelbo
+        kern_norm, kern_update = M.rcg_norm, M.rcg_update
     else:
         from ..ops import rcg_pallas as M
 
-        if fused:
-            kern_norm = partial(M.rcg_norm, interpret=interpret)
-            kern_update = partial(M.rcg_update, interpret=interpret)
-        else:
-            kern_norm = partial(M.rcg_norm_rowelbo, interpret=interpret)
-            kern_update = partial(M.rcg_update_rowelbo, interpret=interpret)
+        kern_norm = partial(M.rcg_norm, interpret=interpret)
+        kern_update = partial(M.rcg_update, interpret=interpret)
 
     acc = acc_dtype()
 
-    if fused:
-        def norm_pass(logL, counts2d, psi, c, v):
-            newnorm = kern_norm(logL, counts2d, psi, c, v).astype(acc)
-            if mesh is not None:
-                newnorm = jax.lax.psum(newnorm, "ec")
-            return newnorm
+    def norm_pass(logL, counts2d, psi, c, v):
+        newnorm = kern_norm(logL, counts2d, psi, c, v).astype(acc)
+        if mesh is not None:
+            newnorm = jax.lax.psum(newnorm, "ec")
+        return newnorm
 
-        def update_pass(logL, counts2d, c_old, v_old, c_new, v_new):
-            colsum, elbo_raw = kern_update(
-                logL, counts2d, c_old, v_old, c_new, v_new
-            )
-            colsum = colsum.astype(acc)
-            elbo_delta = elbo_raw.astype(acc)
-            if mesh is not None:
-                colsum = jax.lax.psum(colsum, "ec")
-                elbo_delta = jax.lax.psum(elbo_delta, "ec")
-            return colsum, elbo_delta
-
-    else:
-        def norm_pass(logL, counts2d, psi, c, v):
-            newnorm_raw, rowelbo = kern_norm(logL, counts2d, psi, c, v)
-            newnorm = newnorm_raw.astype(acc)
-            if mesh is not None:
-                newnorm = jax.lax.psum(newnorm, "ec")
-            return newnorm, rowelbo
-
-        def update_pass(logL, counts2d, c_new, v_new, rowelbo):
-            colsum, elbo_raw = kern_update(logL, counts2d, c_new, v_new, rowelbo)
-            colsum = colsum.astype(acc)
-            elbo_delta = elbo_raw.astype(acc)
-            if mesh is not None:
-                colsum = jax.lax.psum(colsum, "ec")
-                elbo_delta = jax.lax.psum(elbo_delta, "ec")
-            return colsum, elbo_delta
+    def update_pass(logL, counts2d, c_old, v_old, c_new, v_new):
+        colsum, elbo_raw = kern_update(
+            logL, counts2d, c_old, v_old, c_new, v_new
+        )
+        colsum = colsum.astype(acc)
+        elbo_delta = elbo_raw.astype(acc)
+        if mesh is not None:
+            colsum = jax.lax.psum(colsum, "ec")
+            elbo_delta = jax.lax.psum(elbo_delta, "ec")
+        return colsum, elbo_delta
 
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
@@ -307,32 +275,18 @@ def _make_kernels(mesh, interpret, xla64: bool = False, fused: bool = False):
         ec = P("ec", None)
         ecv = P("ec", None)
         rep = P()
-        if fused:
-            norm_pass = shard_map(
-                norm_pass, mesh=mesh,
-                in_specs=(ec, ecv, rep, rep, rep),
-                out_specs=rep,
-                check_vma=False,
-            )
-            update_pass = shard_map(
-                update_pass, mesh=mesh,
-                in_specs=(ec, ecv, rep, rep, rep, rep),
-                out_specs=(rep, rep),
-                check_vma=False,
-            )
-        else:
-            norm_pass = shard_map(
-                norm_pass, mesh=mesh,
-                in_specs=(ec, ecv, rep, rep, rep),
-                out_specs=(rep, ecv),
-                check_vma=False,
-            )
-            update_pass = shard_map(
-                update_pass, mesh=mesh,
-                in_specs=(ec, ecv, rep, rep, ecv),
-                out_specs=(rep, rep),
-                check_vma=False,
-            )
+        norm_pass = shard_map(
+            norm_pass, mesh=mesh,
+            in_specs=(ec, ecv, rep, rep, rep),
+            out_specs=rep,
+            check_vma=False,
+        )
+        update_pass = shard_map(
+            update_pass, mesh=mesh,
+            in_specs=(ec, ecv, rep, rep, rep, rep),
+            out_specs=(rep, rep),
+            check_vma=False,
+        )
     return norm_pass, update_pass
 
 
@@ -363,7 +317,7 @@ def _make_bound_eval(mesh):
 
 
 def _make_step_implicit(tol: float, interpret: bool, mesh=None, xla64: bool = False,
-                        blind_tau=None, fused: bool = False):
+                        blind_tau=None):
     """One implicit iteration: two streaming passes + O(G) coefficient
     recursion (see ops/rcg_pallas.py for the derivation).  With `xla64`
     the passes run in f64 (precision-escalation tail) while logL stays
@@ -377,7 +331,7 @@ def _make_step_implicit(tol: float, interpret: bool, mesh=None, xla64: bool = Fa
     jitter no longer stalls the iterate the way the strict
     revert-on-any-decrease rule does at the floor."""
     acc = acc_dtype()
-    norm_pass, update_pass = _make_kernels(mesh, interpret, xla64, fused)
+    norm_pass, update_pass = _make_kernels(mesh, interpret, xla64)
 
     def step(st: RCGImplicitState, logL, counts2d, alpha):
         dtype = acc if xla64 else logL.dtype
@@ -386,10 +340,7 @@ def _make_step_implicit(tol: float, interpret: bool, mesh=None, xla64: bool = Fa
         c32 = st.c.astype(dtype)
         v32 = st.v.astype(dtype)[None, :]
 
-        if fused:
-            newnorm = norm_pass(logL, counts2d, psi32, c32, v32)
-        else:
-            newnorm, rowelbo = norm_pass(logL, counts2d, psi32, c32, v32)
+        newnorm = norm_pass(logL, counts2d, psi32, c32, v32)
         beta = jnp.where(
             st.just_reset | (st.it == 0) | (st.oldnorm <= 0),
             jnp.zeros((), acc),
@@ -403,16 +354,10 @@ def _make_step_implicit(tol: float, interpret: bool, mesh=None, xla64: bool = Fa
         c_new = st.c + e_new
         v_new = st.v + f_new
 
-        if fused:
-            colsum, elbo_delta = update_pass(
-                logL, counts2d, c32, v32,
-                c_new.astype(dtype), v_new.astype(dtype)[None, :],
-            )
-        else:
-            colsum, elbo_delta = update_pass(
-                logL, counts2d,
-                c_new.astype(dtype), v_new.astype(dtype)[None, :], rowelbo,
-            )
+        colsum, elbo_delta = update_pass(
+            logL, counts2d, c32, v32,
+            c_new.astype(dtype), v_new.astype(dtype)[None, :],
+        )
         n_new = alpha.astype(acc) + colsum
         dirichlet_delta = jnp.sum(gammaln(n_new) - gammaln(st.n_counts))
         delta = elbo_delta + dirichlet_delta
@@ -589,8 +534,7 @@ def _rcg_chunk(
     if impl in ("pallas", "pallas_interpret", "xla64"):
         step = _make_step_implicit(tol, interpret=(impl == "pallas_interpret"),
                                    mesh=mesh, xla64=(impl == "xla64"),
-                                   blind_tau=blind_tau,
-                                   fused=logL.shape[0] > _FUSED_UPDATE_ROWS)
+                                   blind_tau=blind_tau)
         args = (logL, counts[:, None].astype(logL.dtype), alpha)
     else:
         step = _make_step(tol)
@@ -964,52 +908,31 @@ def fit_rcg_result(
 # ---------------------------------------------------------------------------
 
 
-def _make_kernels_batch(mesh, interpret, fused: bool = False):
+def _make_kernels_batch(mesh, interpret):
     """Batched twin of _make_kernels: per-shard batched kernel calls with
     psum-merged (B,)/(B, G) sufficient statistics over the "ec" axis."""
     from ..ops import rcg_pallas
 
     acc = acc_dtype()
 
-    if fused:
-        def norm_pass(logL, countsT, psi_b, c_b, v_b):
-            newnorm = rcg_pallas.rcg_norm_batch(
-                logL, countsT, psi_b, c_b, v_b, interpret=interpret
-            ).astype(acc)
-            if mesh is not None:
-                newnorm = jax.lax.psum(newnorm, "ec")
-            return newnorm
+    def norm_pass(logL, countsT, psi_b, c_b, v_b):
+        newnorm = rcg_pallas.rcg_norm_batch(
+            logL, countsT, psi_b, c_b, v_b, interpret=interpret
+        ).astype(acc)
+        if mesh is not None:
+            newnorm = jax.lax.psum(newnorm, "ec")
+        return newnorm
 
-        def update_pass(logL, countsT, c_old, v_old, c_new, v_new):
-            colsum, elbo_f32 = rcg_pallas.rcg_update_batch(
-                logL, countsT, c_old, v_old, c_new, v_new, interpret=interpret
-            )
-            colsum = colsum.astype(acc)
-            elbo_delta = elbo_f32.astype(acc)
-            if mesh is not None:
-                colsum = jax.lax.psum(colsum, "ec")
-                elbo_delta = jax.lax.psum(elbo_delta, "ec")
-            return colsum, elbo_delta
-    else:
-        def norm_pass(logL, countsT, psi_b, c_b, v_b):
-            norm_f32, rowelbo = rcg_pallas.rcg_norm_batch_rowelbo(
-                logL, countsT, psi_b, c_b, v_b, interpret=interpret
-            )
-            newnorm = norm_f32.astype(acc)
-            if mesh is not None:
-                newnorm = jax.lax.psum(newnorm, "ec")
-            return newnorm, rowelbo
-
-        def update_pass(logL, countsT, c_new, v_new, rowelbo):
-            colsum, elbo_f32 = rcg_pallas.rcg_update_batch_rowelbo(
-                logL, countsT, c_new, v_new, rowelbo, interpret=interpret
-            )
-            colsum = colsum.astype(acc)
-            elbo_delta = elbo_f32.astype(acc)
-            if mesh is not None:
-                colsum = jax.lax.psum(colsum, "ec")
-                elbo_delta = jax.lax.psum(elbo_delta, "ec")
-            return colsum, elbo_delta
+    def update_pass(logL, countsT, c_old, v_old, c_new, v_new):
+        colsum, elbo_f32 = rcg_pallas.rcg_update_batch(
+            logL, countsT, c_old, v_old, c_new, v_new, interpret=interpret
+        )
+        colsum = colsum.astype(acc)
+        elbo_delta = elbo_f32.astype(acc)
+        if mesh is not None:
+            colsum = jax.lax.psum(colsum, "ec")
+            elbo_delta = jax.lax.psum(elbo_delta, "ec")
+        return colsum, elbo_delta
 
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
@@ -1017,57 +940,36 @@ def _make_kernels_batch(mesh, interpret, fused: bool = False):
 
         ec = P("ec", None)
         rep = P()
-        if fused:
-            norm_pass = shard_map(
-                norm_pass, mesh=mesh,
-                in_specs=(ec, ec, rep, rep, rep),
-                out_specs=rep,
-                check_vma=False,
-            )
-            update_pass = shard_map(
-                update_pass, mesh=mesh,
-                in_specs=(ec, ec, rep, rep, rep, rep),
-                out_specs=(rep, rep),
-                check_vma=False,
-            )
-        else:
-            norm_pass = shard_map(
-                norm_pass, mesh=mesh,
-                in_specs=(ec, ec, rep, rep, rep),
-                out_specs=(rep, ec),
-                check_vma=False,
-            )
-            update_pass = shard_map(
-                update_pass, mesh=mesh,
-                in_specs=(ec, ec, rep, rep, ec),
-                out_specs=(rep, rep),
-                check_vma=False,
-            )
+        norm_pass = shard_map(
+            norm_pass, mesh=mesh,
+            in_specs=(ec, ec, rep, rep, rep),
+            out_specs=rep,
+            check_vma=False,
+        )
+        update_pass = shard_map(
+            update_pass, mesh=mesh,
+            in_specs=(ec, ec, rep, rep, rep, rep),
+            out_specs=(rep, rep),
+            check_vma=False,
+        )
     return norm_pass, update_pass
 
 
-def _make_step_implicit_batch(tol: float, interpret: bool, mesh=None,
-                              fused: bool = False):
+def _make_step_implicit_batch(tol: float, interpret: bool, mesh=None):
     """Batched implicit iteration: all state fields carry a leading (B,)
     replicate axis; accept/revert is per-replicate jnp.where (the revert
     is no longer rare across a whole batch, and the state is O(B*G))."""
     acc = acc_dtype()
-    norm_pass, update_pass = _make_kernels_batch(mesh, interpret, fused)
+    norm_pass, update_pass = _make_kernels_batch(mesh, interpret)
 
     def step(st: RCGImplicitState, logL, countsT, alpha):
         dtype = logL.dtype
         psi = digamma(st.n_counts)  # (B, G)
 
-        if fused:
-            newnorm = norm_pass(
-                logL, countsT, psi.astype(dtype),
-                st.c.astype(dtype), st.v.astype(dtype),
-            )
-        else:
-            newnorm, rowelbo = norm_pass(
-                logL, countsT, psi.astype(dtype),
-                st.c.astype(dtype), st.v.astype(dtype),
-            )
+        newnorm = norm_pass(
+            logL, countsT, psi.astype(dtype),
+            st.c.astype(dtype), st.v.astype(dtype),
+        )
         beta = jnp.where(
             st.just_reset | (st.it == 0) | (st.oldnorm <= 0),
             jnp.zeros_like(newnorm),
@@ -1079,15 +981,10 @@ def _make_step_implicit_batch(tol: float, interpret: bool, mesh=None,
         c_new = st.c + e_new
         v_new = st.v + f_new
 
-        if fused:
-            colsum, elbo_delta = update_pass(
-                logL, countsT, st.c.astype(dtype), st.v.astype(dtype),
-                c_new.astype(dtype), v_new.astype(dtype),
-            )
-        else:
-            colsum, elbo_delta = update_pass(
-                logL, countsT, c_new.astype(dtype), v_new.astype(dtype), rowelbo
-            )
+        colsum, elbo_delta = update_pass(
+            logL, countsT, st.c.astype(dtype), st.v.astype(dtype),
+            c_new.astype(dtype), v_new.astype(dtype),
+        )
         n_new = alpha[None, :].astype(acc) + colsum
         dirichlet_delta = jnp.sum(gammaln(n_new) - gammaln(st.n_counts), axis=1)
         delta = elbo_delta + dirichlet_delta
@@ -1169,9 +1066,7 @@ def _rcg_chunk_batch(
     that converged freeze (per-replicate where, not cond — done is a
     (B,) vector).  `max_it` as in _rcg_chunk (single compile for all
     chunks)."""
-    step = _make_step_implicit_batch(
-        tol, interpret, mesh, fused=logL.shape[0] > _FUSED_UPDATE_ROWS
-    )
+    step = _make_step_implicit_batch(tol, interpret, mesh)
 
     def body(st, _):
         new = step(st, logL, countsT, alpha)

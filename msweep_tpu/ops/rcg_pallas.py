@@ -449,281 +449,6 @@ def rcg_update_batch(logL, countsT, c_old, v_old, c_new, v_new, *,
     return colsum, elbo[:, 0]
 
 
-# ---------------------------------------------------------------------------
-# 3-exp-sweep variants with a threaded rowelbo buffer (the FAST pair).
-#
-# The per-row old ELBO data term is computed once in pass 1 and threaded
-# to pass 2 through an (E, 1) buffer.  On TPU that buffer tiles to
-# (8, 128) — 128x its logical bytes — which is irrelevant below a few
-# million ECs but caps single-chip capacity at scale, where the fused
-# dual-softmax kernels above (4 exp sweeps, no (E, 1) state) take over.
-# The kernels are VPU-exp-bound, so the 3-sweep pair is ~25% faster and
-# remains the default (inference/rcg.py picks by row count).
-# ---------------------------------------------------------------------------
-
-def _norm_kernel_rowelbo(c_ref, logL_ref, counts_ref, psi_ref, v_ref,
-                 norm_ref, rowelbo_ref):
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        norm_ref[:, :] = jnp.zeros_like(norm_ref)
-
-    logL = logL_ref[:]
-    t = logL + psi_ref[:]
-    m1 = jnp.max(t, axis=1, keepdims=True)
-    lse1 = m1 + jnp.log(jnp.sum(jnp.exp(t - m1), axis=1, keepdims=True))  # exp 1
-
-    gamma, num, denom = _masked_softmax(logL, c_ref[0, 0], v_ref[:])  # exp 2
-    w = counts_ref[:] * (num / denom)  # == counts * exp(gamma)
-    s = (t - lse1) - gamma  # natural-gradient direction (exact row consts)
-
-    rowelbo_ref[:, :] = jnp.sum(w * (logL - gamma), axis=1, keepdims=True)
-    _acc_add(norm_ref, jnp.sum(w * s * s))
-
-
-def _update_kernel_rowelbo(cn_ref, logL_ref, counts_ref, vn_ref, rowelbo_ref,
-                   colsum_ref, elbo_ref):
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        colsum_ref[:, :] = jnp.zeros_like(colsum_ref)
-        elbo_ref[:, :] = jnp.zeros_like(elbo_ref)
-
-    logL = logL_ref[:]
-    g_new, num, denom = _masked_softmax(logL, cn_ref[0, 0], vn_ref[:])  # exp 3
-    w_new = counts_ref[:] * (num / denom)
-
-    _acc_add(colsum_ref, jnp.sum(w_new, axis=0, keepdims=True))
-    row_new = jnp.sum(w_new * (logL - g_new), axis=1, keepdims=True)
-    _acc_add(elbo_ref, jnp.sum(row_new - rowelbo_ref[:]))
-
-
-@partial(jax.jit, static_argnames=("interpret",))
-def rcg_norm_rowelbo(logL, counts2d, psi, c, v, *, interpret: bool = False):
-    """Pass 1: metric norm of the natural gradient at gamma = (c, v).
-
-    Returns (newnorm scalar f32, rowelbo_old (E,1) f32).  rowelbo_old is
-    the per-row OLD ELBO data term, consumed by rcg_update_rowelbo's differencing.
-    """
-    E, G = logL.shape
-    be = _pick_block_e(E, G)
-    c2d = jnp.asarray(c, jnp.float32).reshape(1, 1)
-    # x64 mode turns index-map literals into i64 scalars, which the
-    # Mosaic lowering cannot legalize; kernels are pure f32/i32.
-    with jax.enable_x64(False):
-        norm, rowelbo = pl.pallas_call(
-            _norm_kernel_rowelbo,
-            grid=(E // be,),
-            in_specs=[
-                _smem_spec(),
-                _mat_spec(be, G),
-                _vec_spec(be),
-                _row_spec(G),
-                _row_spec(G),
-            ],
-            out_specs=[_acc_spec(8, 128), _vec_spec(be)],
-            out_shape=[
-                jax.ShapeDtypeStruct((8, 128), jnp.float32),
-                jax.ShapeDtypeStruct((E, 1), jnp.float32),
-            ],
-            interpret=interpret,
-        )(c2d, logL, counts2d, psi, v)
-    return norm[0, 0], rowelbo
-
-
-@partial(jax.jit, static_argnames=("interpret",))
-def rcg_update_rowelbo(logL, counts2d, c_new, v_new, rowelbo, *, interpret: bool = False):
-    """Pass 2: sufficient statistics of the stepped gamma' = (c_new, v_new).
-
-    Returns (colsum (G,) f32, elbo_delta scalar f32) where colsum =
-    sum_e counts_e exp(gamma'_e) (the N update / final abundances) and
-    elbo_delta is the data-term CHANGE vs the (c, v) state (row-level
-    differencing against pass 1's per-row sums).  gamma' itself is never
-    written — the caller carries only (c_new, v_new).
-    """
-    E, G = logL.shape
-    be = _pick_block_e(E, G)
-    cn2d = jnp.asarray(c_new, jnp.float32).reshape(1, 1)
-    with jax.enable_x64(False):
-        colsum, elbo = pl.pallas_call(
-            _update_kernel_rowelbo,
-            grid=(E // be,),
-            in_specs=[
-                _smem_spec(),
-                _mat_spec(be, G),
-                _vec_spec(be),
-                _row_spec(G),
-                _vec_spec(be),
-            ],
-            out_specs=[_acc_spec(8, G), _acc_spec(8, 128)],
-            out_shape=[
-                jax.ShapeDtypeStruct((8, G), jnp.float32),
-                jax.ShapeDtypeStruct((8, 128), jnp.float32),
-            ],
-            interpret=interpret,
-        )(cn2d, logL, counts2d, v_new, rowelbo)
-    return colsum[0, :], elbo[0, 0]
-
-
-def _norm_batch_kernel_rowelbo(c_ref, logL_ref, countsT_ref, psi_ref, v_ref,
-                       norm_ref, rowelbo_ref):
-    """rcg_norm_rowelbo for replicate b = program_id(1) on E-block program_id(0).
-
-    The replicate axis is the MINOR grid dimension, so every input
-    block's index map is constant across consecutive b steps and Pallas
-    skips its DMA: one iteration over B replicates still reads the
-    matrix exactly twice (norm + update), not 2B times — the whole
-    point of batching bootstrap replicates into the kernel (the
-    reference reuses one likelihood matrix across its serial refits the
-    same way, src/mSWEEP.cpp:496-518).
-
-    Mosaic legality (the real-TPU lowering rejects 1-wide lane blocks
-    and 1-row sublane blocks of larger arrays, which interpret mode
-    accepts): ALL replicate-indexed operands are padded to bp rows /
-    lanes and bound as FULL blocks; the active replicate's row/column
-    is selected in-kernel by iota masks (O(bp * G) work — noise next to
-    the (be, G) softmax).  c comes in via SMEM, where dynamic scalar
-    indexing is legal."""
-    b = pl.program_id(1)
-
-    @pl.when((pl.program_id(0) == 0) & (b == 0))
-    def _():
-        norm_ref[:, :] = jnp.zeros_like(norm_ref)
-
-    @pl.when(b == 0)
-    def _():
-        rowelbo_ref[:, :] = jnp.zeros_like(rowelbo_ref)
-
-    logL = logL_ref[:]
-    # Row b of the (bp, G) psi/v operands, as (1, G): mask + sum.
-    rows = jax.lax.broadcasted_iota(jnp.int32, psi_ref.shape, 0)
-    psi_b = jnp.sum(jnp.where(rows == b, psi_ref[:], 0.0), axis=0, keepdims=True)
-    v_b = jnp.sum(jnp.where(rows == b, v_ref[:], 0.0), axis=0, keepdims=True)
-    # Column b of the (be, bp) counts block, as (be, 1).
-    lanes = jax.lax.broadcasted_iota(jnp.int32, countsT_ref.shape, 1)
-    counts_b = jnp.sum(
-        jnp.where(lanes == b, countsT_ref[:], 0.0), axis=1, keepdims=True
-    )
-
-    t = logL + psi_b
-    m1 = jnp.max(t, axis=1, keepdims=True)
-    lse1 = m1 + jnp.log(jnp.sum(jnp.exp(t - m1), axis=1, keepdims=True))
-
-    gamma, num, denom = _masked_softmax(logL, c_ref[b, 0], v_b)
-    w = counts_b * (num / denom)
-    s = (t - lse1) - gamma
-
-    # rowelbo is (be, bp): write column b of the resident block.
-    rowval = jnp.sum(w * (logL - gamma), axis=1, keepdims=True)
-    elanes = jax.lax.broadcasted_iota(jnp.int32, rowelbo_ref.shape, 1)
-    rowelbo_ref[:, :] += jnp.where(elanes == b, rowval, 0.0)
-    # Accumulate into row b of the resident (bp, 128) accumulator.
-    mask = jax.lax.broadcasted_iota(jnp.int32, norm_ref.shape, 0) == b
-    norm_ref[:, :] += jnp.where(mask, jnp.sum(w * s * s), 0.0)
-
-
-def _update_batch_kernel_rowelbo(cn_ref, logL_ref, countsT_ref, vn_ref, rowelbo_ref,
-                         colsum_ref, elbo_ref):
-    b = pl.program_id(1)
-
-    @pl.when((pl.program_id(0) == 0) & (b == 0))
-    def _():
-        colsum_ref[:, :] = jnp.zeros_like(colsum_ref)
-        elbo_ref[:, :] = jnp.zeros_like(elbo_ref)
-
-    logL = logL_ref[:]
-    rows = jax.lax.broadcasted_iota(jnp.int32, vn_ref.shape, 0)
-    vn_b = jnp.sum(jnp.where(rows == b, vn_ref[:], 0.0), axis=0, keepdims=True)
-    lanes = jax.lax.broadcasted_iota(jnp.int32, countsT_ref.shape, 1)
-    counts_b = jnp.sum(
-        jnp.where(lanes == b, countsT_ref[:], 0.0), axis=1, keepdims=True
-    )
-
-    g_new, num, denom = _masked_softmax(logL, cn_ref[b, 0], vn_b)
-    w_new = counts_b * (num / denom)
-
-    maskc = jax.lax.broadcasted_iota(jnp.int32, colsum_ref.shape, 0) == b
-    colsum_ref[:, :] += jnp.where(maskc, jnp.sum(w_new, axis=0, keepdims=True), 0.0)
-    row_new = jnp.sum(w_new * (logL - g_new), axis=1, keepdims=True)
-    elanes = jax.lax.broadcasted_iota(jnp.int32, rowelbo_ref.shape, 1)
-    rowelbo_b = jnp.sum(
-        jnp.where(elanes == b, rowelbo_ref[:], 0.0), axis=1, keepdims=True
-    )
-    maske = jax.lax.broadcasted_iota(jnp.int32, elbo_ref.shape, 0) == b
-    elbo_ref[:, :] += jnp.where(maske, jnp.sum(row_new - rowelbo_b), 0.0)
-
-
-@partial(jax.jit, static_argnames=("interpret",))
-def rcg_norm_batch_rowelbo(logL, countsT, psi_b, c_b, v_b, *, interpret: bool = False):
-    """Batched pass 1 over B replicates sharing one logL stream.
-
-    logL (E, G); countsT (E, B) per-replicate resampled counts;
-    psi_b (B, G); c_b (B,); v_b (B, G).  B must be a multiple of 8
-    (fit_rcg_batch zero-pads the replicate axis): every replicate-
-    indexed operand is bound as a full block and masked in-kernel,
-    which is what the real-TPU Mosaic lowering requires.
-    Returns (norm (B,) f32, rowelbo (E, B) f32)."""
-    E, G = logL.shape
-    B = countsT.shape[1]
-    assert B % 8 == 0, "replicate axis must be padded to a multiple of 8"
-    be = _pick_block_e(E, G)
-    c2d = jnp.asarray(c_b, jnp.float32).reshape(B, 1)
-    with jax.enable_x64(False):
-        norm, rowelbo = pl.pallas_call(
-            _norm_batch_kernel_rowelbo,
-            grid=(E // be, B),
-            in_specs=[
-                _rep_smem_spec(B),
-                _rep_mat_spec(be, G),
-                _rep_wide_spec(be, B),
-                _rep_full_rows_spec(B, G),
-                _rep_full_rows_spec(B, G),
-            ],
-            out_specs=[_rep_acc_spec(B, 128), _rep_wide_spec(be, B)],
-            out_shape=[
-                jax.ShapeDtypeStruct((B, 128), jnp.float32),
-                jax.ShapeDtypeStruct((E, B), jnp.float32),
-            ],
-            interpret=interpret,
-        )(c2d, logL, countsT, psi_b, v_b)
-    return norm[:, 0], rowelbo
-
-
-@partial(jax.jit, static_argnames=("interpret",))
-def rcg_update_batch_rowelbo(logL, countsT, c_new, v_new, rowelbo, *, interpret: bool = False):
-    """Batched pass 2.  Returns (colsum (B, G) f32, elbo_delta (B,) f32).
-
-    colsum[b] = sum_e countsT[e, b] * exp(gamma'_b[e]) — the N update,
-    and (minus alpha) the unnormalized abundances, so bootstrap theta
-    comes straight from the optimizer state with no gamma
-    materialization."""
-    E, G = logL.shape
-    B = countsT.shape[1]
-    assert B % 8 == 0, "replicate axis must be padded to a multiple of 8"
-    be = _pick_block_e(E, G)
-    cn2d = jnp.asarray(c_new, jnp.float32).reshape(B, 1)
-    with jax.enable_x64(False):
-        colsum, elbo = pl.pallas_call(
-            _update_batch_kernel_rowelbo,
-            grid=(E // be, B),
-            in_specs=[
-                _rep_smem_spec(B),
-                _rep_mat_spec(be, G),
-                _rep_wide_spec(be, B),
-                _rep_full_rows_spec(B, G),
-                _rep_wide_spec(be, B),
-            ],
-            out_specs=[_rep_acc_spec(B, G), _rep_acc_spec(B, 128)],
-            out_shape=[
-                jax.ShapeDtypeStruct((B, G), jnp.float32),
-                jax.ShapeDtypeStruct((B, 128), jnp.float32),
-            ],
-            interpret=interpret,
-        )(cn2d, logL, countsT, v_new, rowelbo)
-    return colsum, elbo[:, 0]
-
-
-@jax.jit
-
-
 @jax.jit
 def materialize_gamma(logL, c, v):
     """gamma = rownorm(masked affine map) — one XLA pass, used once after

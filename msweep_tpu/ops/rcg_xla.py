@@ -137,59 +137,3 @@ def rcg_update(logL, counts2d, c_old, v_old, c_new, v_new):
         body, (jnp.zeros((G,), dt), jnp.zeros((), dt)), (Lb, cb)
     )
     return colsum, elbo
-
-
-# 3-sweep rowelbo variants (fast pair; see rcg_pallas for the dual-
-# kernel rationale — picked by row count in inference/rcg.py):
-@jax.jit
-def rcg_norm_rowelbo(logL, counts2d, psi, c, v):
-    """Pass 1 at gamma = (c, v): returns (newnorm scalar, rowelbo (E,1)),
-    both in psi.dtype (f64 on the escalation path)."""
-    dt = psi.dtype
-    E, G = logL.shape
-    b = _pick_block(E)
-    Lb = logL.reshape(E // b, b, G)
-    cb = counts2d.reshape(E // b, b, 1)
-
-    def body(acc, xs):
-        Lraw, cnt = xs
-        L = Lraw.astype(dt)
-        t = L + psi
-        m1 = jnp.max(t, axis=1, keepdims=True)
-        lse1 = m1 + jnp.log(jnp.sum(jnp.exp(t - m1), axis=1, keepdims=True))
-        gamma, num, denom = _masked_softmax(Lraw, L, c, v)
-        w = cnt.astype(dt) * (num / denom)
-        s = (t - lse1) - gamma
-        rowelbo = jnp.sum(w * (L - gamma), axis=1, keepdims=True)
-        return acc + jnp.sum(w * s * s), rowelbo
-
-    newnorm, rowelbo = jax.lax.scan(body, jnp.zeros((), dt), (Lb, cb))
-    return newnorm, rowelbo.reshape(E, 1)
-
-
-@jax.jit
-def rcg_update_rowelbo(logL, counts2d, c_new, v_new, rowelbo):
-    """Pass 2 at gamma' = (c_new, v_new): returns (colsum (G,), elbo
-    scalar) in rowelbo.dtype."""
-    dt = rowelbo.dtype
-    E, G = logL.shape
-    b = _pick_block(E)
-    Lb = logL.reshape(E // b, b, G)
-    cb = counts2d.reshape(E // b, b, 1)
-    rb = rowelbo.reshape(E // b, b, 1)
-
-    def body(acc, xs):
-        Lraw, cnt, rowold = xs
-        colsum, elbo = acc
-        L = Lraw.astype(dt)
-        g_new, num, denom = _masked_softmax(Lraw, L, c_new, v_new)
-        w_new = cnt.astype(dt) * (num / denom)
-        colsum = colsum + jnp.sum(w_new, axis=0)
-        row_new = jnp.sum(w_new * (L - g_new), axis=1, keepdims=True)
-        elbo = elbo + jnp.sum(row_new - rowold)
-        return (colsum, elbo), None
-
-    (colsum, elbo), _ = jax.lax.scan(
-        body, (jnp.zeros((G,), dt), jnp.zeros((), dt)), (Lb, cb, rb)
-    )
-    return colsum, elbo

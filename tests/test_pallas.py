@@ -410,68 +410,3 @@ def test_em_batch_returns_theta():
         th1 = np.asarray(mixture_components(g1, batch[b]))
         assert int(ib[b]) == int(i1)
         np.testing.assert_allclose(np.asarray(tb[b]), th1, rtol=0, atol=2e-6)
-
-
-def test_fused_update_matches_rowelbo_pair(monkeypatch):
-    """The capacity-mode dual-softmax kernels (no (E,1) rowelbo buffer,
-    auto-selected above _FUSED_UPDATE_ROWS) must reproduce the fast
-    3-sweep pair's trajectory: the old row term is recomputed through
-    the same masked-softmax helper with the same (c, v), so the per-row
-    differencing is equivalent."""
-    import msweep_tpu.inference.rcg as rcg_mod
-
-    logL, counts, alpha, bc = _problem(E=64, G=128, seed=17)
-    # distinct chunk sizes => distinct static scan lengths => fresh
-    # traces (the fused flag is read at trace time)
-    g1, i1, b1 = _fit_rcg_arrays(
-        logL, counts, alpha, bc, tol=1e-6, max_iters=120, verbose=False,
-        impl="pallas_interpret", refine=False, chunk=7,
-    )
-    monkeypatch.setattr(rcg_mod, "_FUSED_UPDATE_ROWS", 0)
-    g2, i2, b2 = _fit_rcg_arrays(
-        logL, counts, alpha, bc, tol=1e-6, max_iters=120, verbose=False,
-        impl="pallas_interpret", refine=False, chunk=9,
-    )
-    assert int(i1) == int(i2)
-    np.testing.assert_allclose(float(b1), float(b2), rtol=1e-9)
-    np.testing.assert_allclose(
-        np.exp(np.asarray(g1)), np.exp(np.asarray(g2)), atol=1e-6
-    )
-
-
-def test_fused_update_matches_rowelbo_xla64(monkeypatch):
-    import msweep_tpu.inference.rcg as rcg_mod
-
-    logL, counts, alpha, bc = _problem(E=64, G=128, seed=18)
-    logL = logL.astype(jnp.float64)
-    g1, i1, b1 = _fit_rcg_arrays(
-        logL, counts, alpha, bc, tol=1e-8, max_iters=200, verbose=False,
-        impl="xla64", chunk=11,
-    )
-    monkeypatch.setattr(rcg_mod, "_FUSED_UPDATE_ROWS", 0)
-    g2, i2, b2 = _fit_rcg_arrays(
-        logL, counts, alpha, bc, tol=1e-8, max_iters=200, verbose=False,
-        impl="xla64", chunk=13,
-    )
-    assert int(i1) == int(i2)
-    np.testing.assert_allclose(float(b1), float(b2), rtol=1e-12)
-
-
-def test_fused_batch_matches_rowelbo_batch(monkeypatch):
-    import msweep_tpu.inference.rcg as rcg_mod
-    from msweep_tpu.inference.pack import DeviceProblem
-    from msweep_tpu.inference.rcg import fit_rcg_batch
-
-    logL, counts, alpha, bc = _problem(E=64, G=256, seed=19)
-    prob = DeviceProblem(
-        logL=logL, counts=counts, alpha=alpha, n_ecs=64, n_groups=256,
-        bound_const=bc, mesh=None,
-    )
-    batch = jnp.asarray(_bootstrap_batch(counts, 3), jnp.float32)
-    t1, i1, b1 = fit_rcg_batch(prob, batch, tol=1e-7, max_iters=200,
-                               impl="pallas_interpret", chunk=7)
-    monkeypatch.setattr(rcg_mod, "_FUSED_UPDATE_ROWS", 0)
-    t2, i2, b2 = fit_rcg_batch(prob, batch, tol=1e-7, max_iters=200,
-                               impl="pallas_interpret", chunk=9)
-    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
-    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=1e-7)
