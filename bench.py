@@ -388,6 +388,64 @@ def bench_convergence_reference(G, tol=1e-6):
         })
 
 
+def bench_capacity(G, iters=20):
+    """Full-suite: the largest-problem row — E=5.7M x 512 (10.9 GiB
+    matrix, 2.5x the reference benchmark's efaec-1) on one 16 GB chip.
+    Data is generated host-side (device-side softmax temporaries would
+    not fit) and timed with the standard min-of-N + barrier method.
+    The reference's A100 run held 27.9 GB for the 2.3M-EC problem; this
+    row exists because the O(G)-state design makes logL itself the only
+    matrix-sized allocation."""
+    import jax
+    import jax.numpy as jnp
+    from msweep_tpu.inference.mixture import bound_const
+    from msweep_tpu.inference.rcg import _run_rcg_arrays
+
+    E = int(os.environ.get("MSWEEP_BENCH_CAP_E", 8192 * 700))  # 5,734,400
+    try:
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((E, G), dtype=np.float32) * 4.0
+        x -= x.max(axis=1, keepdims=True)
+        ex = np.exp(x)
+        x -= np.log(ex.sum(axis=1, keepdims=True))
+        del ex
+        logL = jax.device_put(x)
+        jax.block_until_ready(logL)
+        del x
+        counts_h = rng.integers(1, 100, size=E).astype(np.float32)
+        counts = jax.device_put(counts_h)
+        alpha = jnp.ones((G,), jnp.float32)
+        bc = bound_const(counts_h.astype(np.float64), np.ones(G))
+
+        def run(n):
+            st, _ = _run_rcg_arrays(
+                logL, counts, alpha, bc, max_iters=n, tol=-1.0,
+                verbose=False, chunk=n,
+            )
+            return st.bound
+
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(iters))
+        log(f"capacity compile+warmup {time.perf_counter()-t0:.1f}s")
+        elapsed, times = _timed_best(lambda: run(iters))
+        rate = E * G * iters / elapsed
+        log(f"rcg_capacity: E={E} ({E*G*4/2**30:.1f} GiB) {iters} iters in "
+            f"{elapsed:.3f}s = {rate/1e9:.1f} G cell-updates/s (min of "
+            f"{len(times)}; 2.5x reference scale on one 16 GB chip)")
+        DETAILS["rcg_capacity"] = _stamp({
+            "E": E, "G": G, "iters": iters, "seconds": elapsed,
+            "seconds_all": times, "it_per_s": iters / elapsed,
+            "cell_updates_per_s": rate,
+            "working_set_GiB": E * G * 4 / 2**30,
+        })
+        del logL, counts
+    except Exception as e:
+        log(f"rcg_capacity FAILED ({type(e).__name__}): {str(e)[:200]}")
+        DETAILS["rcg_capacity"] = _stamp({
+            "E": E, "G": G, "status": "failed", "error": str(e)[:300],
+        })
+
+
 def bench_reference_scale(G, iters=10):
     """efaec-1 scale (~2.3M ECs, docs/gpubenchmarks.md:13).  With the
     implicit-gamma rcg the device working set is logL alone (2.3M x 512
@@ -644,6 +702,7 @@ def main():
     if suite == "full":
         if jax.default_backend() == "tpu":
             bench_reference_scale(G)
+            bench_capacity(G)
             bench_convergence_reference(G)
         bench_em_precision(lik)
         bench_phase_e2e()

@@ -38,23 +38,30 @@ Consequences:
   exact per-iteration cond costs nothing — the round-2 "optimistic
   replay" host machinery is unnecessary and deleted.
 
-Exp-sweep budget is unchanged at THREE per iteration:
+Exp-sweep budget is FOUR per iteration (round 5):
 
-  1. exp(t - m)      row logsumexp of t            (norm pass)
-  2. exp(ghat - mg)  recompute gamma's row softmax (norm pass; the
+  1. exp(t - m)      row logsumexp of t             (norm pass)
+  2. exp(ghat - mg)  gamma's row softmax            (norm pass; the
                      numerator is reused for the metric weights
                      w = counts * exp(gamma) = counts * eg / sg)
-  3. exp(uhat - m2)  the new gamma's row softmax   (update pass; reused
+  3. exp(ghat - mg)  gamma's row softmax AGAIN      (update pass — the
+                     old ELBO row term, recomputed in-stream)
+  4. exp(uhat - m2)  the new gamma's row softmax    (update pass; reused
                      for the new weights)
 
-The ELBO data-term change is accumulated from per-row differences: the
-norm pass recomputes the OLD per-row term sum_g w (logL - gamma) from
-(c, v) — bit-identical to what the previous update pass computed from
-the same (c, v), since both kernels use the same masked-softmax op
-sequence — and the update pass subtracts it from the new rows.  Row
-pairs nearly cancel, so the f32 partials keep f64-summed totals accurate
-at tolerances far below f32 resolution of the whole term (rcg.py module
-docstring point 2).
+The ELBO data-term change is accumulated from per-row differences
+WITHIN the update pass (dual softmax): the old term sum_g w (logL -
+gamma) at (c, v) and the new term at (c', v') come from the same
+masked-softmax helper in the same block, so the nearly-cancelling row
+pairs keep f64-summed totals accurate at tolerances far below f32
+resolution of the whole term (rcg.py module docstring point 2).  An
+earlier 3-sweep design threaded the old term through an (E, 1) buffer
+instead; on TPU that buffer tiles to (8, 128) — 128x its logical bytes
+— and measured timings showed the 4th sweep hides entirely under the
+DMA (42-51 G cell-updates/s either way), so the bufferless form won:
+the working set is logL + an (E, 1) counts operand and nothing else,
+and a 5.7M x 512 problem (10.9 GiB, 2.5x the reference benchmark) runs
+at full speed on one 16 GB v5e.
 
 Reductions accumulate across the sequential TPU grid into constant-index
 output tiles (grid steps run in order on one core).  G rides the
